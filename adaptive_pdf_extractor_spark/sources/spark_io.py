@@ -1,0 +1,107 @@
+"""Spark DataFrame constructors and table I/O for the corpus model.
+
+Storage is "Iceberg-shaped parquet" (SURVEY §7.1.5): no Iceberg runtime jar
+ships in the sandbox, so tables are partitioned parquet + JSON manifests
+giving snapshot ids, per-partition lineage and exact resume; the layout maps
+1:1 onto Iceberg snapshots when the jar is available (the writer/reader here
+is the only code that would change).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import corpus as corpus_mod
+from .corpus import INPUT_DDL, OUTPUT_DDL
+
+RULES_DDL = (
+    "label string, field string, rule string, validation_regex string, "
+    "weight bigint, rule_seq bigint, round_added int, rule_id bigint"
+)
+
+
+def input_df_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """Local-list constructor (test/ingest path, small corpora)."""
+    return spark.createDataFrame(rows, schema=INPUT_DDL)
+
+
+def reference_corpus_df(
+    spark: SparkSession, dataset_path: str, corpus: Optional[str] = None
+) -> DataFrame:
+    """Ingest one reference JSON dataset as an input span table."""
+    return input_df_from_rows(
+        spark, corpus_mod.reference_dataset_to_rows(dataset_path, corpus=corpus)
+    )
+
+
+def golden_output_df(
+    spark: SparkSession, dataset_path: str, result_path: str, corpus: Optional[str] = None
+) -> DataFrame:
+    return spark.createDataFrame(
+        corpus_mod.golden_output_rows(dataset_path, result_path, corpus=corpus),
+        schema=OUTPUT_DDL,
+    )
+
+
+def rules_df_from_rows(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    return spark.createDataFrame(rows, schema=RULES_DDL) if rows else spark.createDataFrame([], schema=RULES_DDL)
+
+
+def synthetic_corpus_df(
+    spark: SparkSession,
+    seed: int,
+    count: int,
+    partitions: Optional[int] = None,
+    corpus: str = "synth",
+) -> DataFrame:
+    """Distributed synthetic corpus: ``spark.range(count)`` fanned out to a
+    per-id deterministic generator (order-independent seeding — SURVEY §3.2),
+    so the same (seed, id) yields the same document at any scale/parallelism.
+    This is how the 10^12-notional corpus is synthesized small for tests
+    (reference analog: scripts/generate_fake_data.py, global sequential
+    seeding — deliberately NOT reproduced; see corpus._Rng docstring)."""
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism, 4)
+    rng_df = spark.range(0, count, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                doc_id = f"{corpus}/{int(i):09d}"
+                rec = corpus_mod.synth_record(seed, doc_id)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "spans": corpus_mod.text_to_spans(doc_id, rec["pdf_text"]),
+                        "label": rec["label"],
+                        "schema_fields": rec["schema_fields"],
+                        "expected": rec["expected"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return rng_df.mapInPandas(gen, schema=INPUT_DDL)
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def spans_equal_expr() -> "F.Column":
+    """Order-sensitive span-sequence equality predicate (kind, text,
+    media_ref, order) between columns ``a.spans`` and ``b.spans`` — the
+    north_rule's per-row invariant. Runs JVM-side (no UDF)."""
+    norm = lambda side: F.expr(
+        f"transform(array_sort({side}.spans, (l, r) -> l.offset - r.offset),"
+        " s -> struct(s.kind as kind, s.text as text, s.media_ref as media_ref))"
+    )
+    return norm("a") == norm("b")
