@@ -40,7 +40,13 @@ EXTRACTED_DDL = (
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
     "hits array<struct<field:string,rule_id:bigint,path:string>>, "
     "unresolved array<string>, "
-    "n_text_spans int, n_media_spans int"
+    "n_text_spans int, n_media_spans int, "
+    # mining payload — populated only for docs with unresolved fields so the
+    # round loop never re-normalizes the corpus; null for resolved docs
+    # (keeps the fast-path output narrow at scale)
+    "norm_text string, all_fields array<string>, "
+    # executor partition id for per-partition lineage/metrics
+    "part_id int"
 )
 
 # path markers for per-field provenance (metrics + tests)
@@ -83,6 +89,13 @@ def make_extract_fn(
     """
 
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            part_id = tc.partitionId() if tc is not None else -1
+        except Exception:
+            part_id = -1
         book: RuleBook = (
             rulebook_bc.value if hasattr(rulebook_bc, "value") else rulebook_bc
         )
@@ -172,6 +185,8 @@ def make_extract_fn(
                 )
                 out_spans.append(spans)
 
+            texts_list = list(texts)
+            fields_list = [list(ft) for ft in field_names]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
@@ -183,6 +198,13 @@ def make_extract_fn(
                     "n_media_spans": pd.array(
                         [len(m) for m in media_lists], dtype="int32"
                     ),
+                    "norm_text": [
+                        texts_list[pos] if out_unres[pos] else None for pos in range(n)
+                    ],
+                    "all_fields": [
+                        fields_list[pos] if out_unres[pos] else None for pos in range(n)
+                    ],
+                    "part_id": pd.array([part_id] * n, dtype="int32"),
                 }
             )
 

@@ -1,0 +1,251 @@
+"""The bounded-iterative-broadcast extraction pipeline.
+
+This is the distributed recast of the reference's sequential adaptive loop
+(src/main.py:179-325). Instead of mutating a cache document-by-document, the
+corpus is scanned in **rounds**, each a stateless batch job over a frozen
+broadcast rule set::
+
+    round r:
+      1. broadcast rules(r)  ->  fused extraction pass (operators.extract)
+      2. weight aggregation: groupBy(rule_id).count() over this round's
+         hits, summed into the rules table (replaces in-place bubble-up —
+         end-state totals are order-independent, SURVEY §2.4)
+      3. unresolved (doc, field) pairs  ->  hash-sampled  ->  grouped
+         applyInPandas rule mining (operators.miner)
+      4. accepted rules appended (weight=1, next rule_seq — matching the
+         reference's add-at-tail, src/cache.py:182-199); rules snapshot +
+         manifest committed (plans.checkpoint)
+      until no new rules or max_rounds (analog of the reference's
+      max_attempts feedback bound, src/main.py:62-67)
+
+    final pass: extraction with the converged rules + the deterministic
+      direct extractor as slow-path fallback for still-unresolved fields
+      (the reference's answers for LLM-extracted fields come from the LLM
+      directly, src/main.py:262 — the direct extractor is that analog).
+
+Convergence: the unresolved-pair count is monotonically non-increasing
+across rounds (rules are only added, never removed, and extraction is
+deterministic), so the loop terminates in <= max_rounds scans.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rules import RuleBook
+from ..operators.extract import extract_documents, salted_repartition
+from ..operators.miner import MINED_DDL, direct_extract_series, make_miner_fn
+from ..sources import spark_io
+from .checkpoint import RunManifest
+
+
+@dataclass
+class PipelineConfig:
+    max_rounds: int = 5            # reference max_attempts default (src/main.py:62-67)
+    min_pass_rate: float = 0.9
+    max_examples_per_group: int = 64
+    # Fraction of unresolved docs shipped to the miner, selected by stable
+    # doc_id hash (deterministic). At 10^12 docs the miner needs only a few
+    # thousand examples per (label, field); everything else is wasted I/O.
+    miner_sample_mod: int = 1      # 1 = all; K = ~1/K of unresolved docs
+    num_partitions: Optional[int] = None
+    direct_fallback: bool = True
+    extra: dict = dc_field(default_factory=dict)
+
+
+def aggregate_weights(rules_rows: list[dict], extracted: DataFrame) -> list[dict]:
+    """weights += this round's per-rule hit counts (distributed agg, tiny
+    result). Partial aggregation (map-side combine) comes free from
+    groupBy().count()."""
+    hits = (
+        extracted.select(F.explode("hits").alias("h"))
+        .filter(F.col("h.path") == "rule")
+        .groupBy(F.col("h.rule_id").alias("rule_id"))
+        .count()
+        .collect()
+    )
+    by_id = {r["rule_id"]: r["count"] for r in hits}
+    out = []
+    for row in rules_rows:
+        row = dict(row)
+        row["weight"] = int(row["weight"]) + int(by_id.get(row["rule_id"], 0))
+        out.append(row)
+    return out
+
+
+def _next_ids(rules_rows: list[dict]) -> tuple[int, dict[tuple, int]]:
+    next_id = max((r["rule_id"] for r in rules_rows), default=-1) + 1
+    next_seq: dict[tuple, int] = {}
+    for r in rules_rows:
+        k = (r["label"], r["field"])
+        next_seq[k] = max(next_seq.get(k, -1), r["rule_seq"])
+    return next_id, {k: v + 1 for k, v in next_seq.items()}
+
+
+class ExtractionPipeline:
+    """Driver for the round loop with checkpointed exact resume."""
+
+    def __init__(self, spark: SparkSession, run_dir: str, config: PipelineConfig | None = None):
+        self.spark = spark
+        self.run_dir = run_dir
+        self.config = config or PipelineConfig()
+        self.manifest = RunManifest(run_dir)
+
+    # -- internals -----------------------------------------------------------
+
+    def _extract(self, docs: DataFrame, rules_rows: list[dict], final: bool) -> DataFrame:
+        book = RuleBook.from_rows(rules_rows)
+        direct = direct_extract_series if (final and self.config.direct_fallback) else None
+        return extract_documents(docs, book, direct_extractor=direct)
+
+    def _round_metrics(self, extracted: DataFrame) -> tuple[dict, list[dict]]:
+        agg = extracted.groupBy("part_id").agg(
+            F.count("*").alias("docs"),
+            F.sum(F.size("unresolved")).alias("unresolved_fields"),
+            F.sum(
+                F.size(F.filter("hits", lambda h: h["path"] == F.lit("rule")))
+            ).alias("rule_hits"),
+            F.sum("n_text_spans").alias("text_spans"),
+            F.sum("n_media_spans").alias("media_spans"),
+        )
+        lineage = [r.asDict() for r in agg.collect()]
+        totals = {
+            k: int(sum(r[k] or 0 for r in lineage))
+            for k in ["docs", "unresolved_fields", "rule_hits", "text_spans", "media_spans"]
+        }
+        totals["fast_path_doc_rate"] = None  # filled by caller if wanted
+        return totals, lineage
+
+    def _mine(self, extracted: DataFrame) -> list[dict]:
+        cfg = self.config
+        pairs = (
+            extracted.filter(F.size("unresolved") > 0)
+            .filter(
+                (F.pmod(F.xxhash64("doc_id"), F.lit(cfg.miner_sample_mod)) == 0)
+                if cfg.miner_sample_mod > 1
+                else F.lit(True)
+            )
+            .select(
+                "doc_id",
+                "label",
+                "norm_text",
+                "all_fields",
+                F.explode("unresolved").alias("field"),
+            )
+        )
+        mined = pairs.groupBy("label", "field").applyInPandas(
+            make_miner_fn(
+                min_pass_rate=cfg.min_pass_rate,
+                max_examples=cfg.max_examples_per_group,
+            ),
+            schema=MINED_DDL,
+        )
+        return [r.asDict() for r in mined.collect()]
+
+    def _accept(
+        self, rules_rows: list[dict], mined: list[dict], round_no: int
+    ) -> list[dict]:
+        """Dedup mined candidates against the table and append accepted ones
+        (weight=1 at tail — reference add_rule semantics)."""
+        existing = {(r["label"], r["field"], r["rule"]) for r in rules_rows}
+        next_id, next_seq = _next_ids(rules_rows)
+        accepted = []
+        for m in sorted(mined, key=lambda m: (m["label"], m["field"], m["kind"])):
+            key = (m["label"], m["field"], m["rule"])
+            if key in existing:
+                continue
+            existing.add(key)
+            k = (m["label"], m["field"])
+            seq = next_seq.get(k, 0)
+            next_seq[k] = seq + 1
+            accepted.append(
+                {
+                    "label": m["label"],
+                    "field": m["field"],
+                    "rule": m["rule"],
+                    "validation_regex": m["validation_regex"],
+                    "weight": 1,
+                    "rule_seq": seq,
+                    "round_added": round_no,
+                    "rule_id": next_id,
+                }
+            )
+            next_id += 1
+        return accepted
+
+    def _snapshot(self, rules_rows: list[dict], round_no: int) -> str:
+        path = self.manifest.rules_snapshot_path(round_no)
+        spark_io.write_table(
+            spark_io.rules_df_from_rows(self.spark, rules_rows), path
+        )
+        return path
+
+    @staticmethod
+    def load_rules_snapshot(spark: SparkSession, path: str) -> list[dict]:
+        rows = [r.asDict() for r in spark_io.read_table(spark, path).collect()]
+        rows.sort(key=lambda r: r["rule_id"])
+        return rows
+
+    # -- entry ----------------------------------------------------------------
+
+    def run(
+        self,
+        docs: DataFrame,
+        initial_rules_rows: Optional[list[dict]] = None,
+        write_output: bool = True,
+    ) -> DataFrame:
+        """Run (or resume) the full pipeline; returns the output span table."""
+        cfg = self.config
+        if cfg.num_partitions:
+            docs = salted_repartition(docs, cfg.num_partitions)
+        docs = docs.persist()
+        try:
+            start_round = self.manifest.last_completed_round() + 1
+            if start_round > 0:
+                rules_rows = self.load_rules_snapshot(
+                    self.spark, self.manifest.latest_rules_path()
+                )
+            else:
+                rules_rows = list(initial_rules_rows or [])
+
+            # A finished run resumes straight to the final pass: its rules
+            # are converged and committed; re-mining would append spurious
+            # rounds to the manifest.
+            round_range = [] if self.manifest.complete else range(start_round, cfg.max_rounds)
+            for round_no in round_range:
+                extracted = self._extract(docs, rules_rows, final=False).persist()
+                try:
+                    rules_rows = aggregate_weights(rules_rows, extracted)
+                    metrics, lineage = self._round_metrics(extracted)
+                    mined = self._mine(extracted)
+                finally:
+                    extracted.unpersist()
+                accepted = self._accept(rules_rows, mined, round_no)
+                rules_rows = rules_rows + accepted
+                path = self._snapshot(rules_rows, round_no)
+                metrics["n_rules"] = len(rules_rows)
+                self.manifest.commit_round(
+                    round_no, path, metrics, lineage, n_new_rules=len(accepted)
+                )
+                if not accepted:
+                    break  # converged: another scan cannot change anything
+
+            final = self._extract(docs, rules_rows, final=True)
+            output = final.select("doc_id", "spans")
+            out_path = f"{self.run_dir}/output"
+            if write_output:
+                spark_io.write_table(output, out_path)
+                output = spark_io.read_table(self.spark, out_path)
+            summary, _ = self._round_metrics(final) if not write_output else ({}, [])
+            self.manifest.finish(out_path if write_output else None, summary)
+            return output
+        finally:
+            docs.unpersist()
+
+    def final_rules(self) -> list[dict]:
+        path = self.manifest.latest_rules_path()
+        return self.load_rules_snapshot(self.spark, path) if path else []
