@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the full adaptive extraction pipeline
+(bounded iterative broadcast rule mining -> converged fast-path extraction)
+over an interleaved text+media span corpus keyed by sf0.001's documents
+table.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family (SURVEY.md §2 + training-data-pipeline ops), each with a DuckDB
+ANSI-SQL oracle where the semantics are SQL-expressible. Column names and
+rounding are aligned on both sides (the driver value-hashes after sorting
+columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +17,492 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adaptive_pdf_extractor_spark.functions import text as T
+from adaptive_pdf_extractor_spark.operators import dedup, similarity
+from adaptive_pdf_extractor_spark.operators.extract import salted_repartition
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+
+def _flagship(spark: SparkSession, sf_dir: str, max_rounds: int = 3) -> DataFrame:
+    """Adaptive extraction end-to-end: derive a deterministic interleaved
+    span corpus keyed by the documents table's doc_ids, learn rules from
+    scratch (miner + iterative broadcast), extract, and return the flat
+    (doc_id, field, value) view of the output span table."""
+    import tempfile
+
+    from adaptive_pdf_extractor_spark.plans.pipeline import (
+        ExtractionPipeline,
+        PipelineConfig,
+    )
+    from adaptive_pdf_extractor_spark.sources import corpus as corpus_mod
+    from adaptive_pdf_extractor_spark.sources.corpus import INPUT_DDL
+
+    ids = [r["doc_id"] for r in _docs(spark, sf_dir).select("doc_id").collect()]
+    rows = []
+    for i in sorted(ids):
+        doc_id = f"flagship/{int(i):09d}"
+        rec = corpus_mod.synth_record(seed=13, doc_id=doc_id)
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "spans": corpus_mod.text_to_spans(doc_id, rec["pdf_text"]),
+                "label": rec["label"],
+                "schema_fields": rec["schema_fields"],
+                "expected": rec["expected"],
+            }
+        )
+    docs = spark.createDataFrame(rows, schema=INPUT_DDL)
+    run_dir = tempfile.mkdtemp(prefix="flagship_run_")
+    pipe = ExtractionPipeline(
+        spark,
+        run_dir,
+        PipelineConfig(max_rounds=max_rounds, num_partitions=8),
+    )
+    out = pipe.run(docs, initial_rules_rows=[], write_output=False)
+    return (
+        out.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") != "media")
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("field"),
+            F.col("s.text").alias("value"),
+            F.col("s.offset").alias("field_pos"),
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, SF0001)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_top_orders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rk",
+        )
+    )
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T.mean_word_length(F.col("text")).alias("mean_word_len"),
+        T.punct_ratio(F.col("text")).alias("punct_ratio"),
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_lang_id_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(T.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .count()
+        .withColumnRenamed("count", "n_docs")
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return dedup.exact_dedup_groups(d, "doc_id", "text")
+
+
+def _planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id<100) unioned with mutated copies (id+100000, first
+    ten chars dropped) — deterministic near-duplicates for the dedup ops."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id", "text")
+    mutated = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 11)").alias("text"),
+    )
+    return d.unionByName(mutated)
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _planted_dups(spark, sf_dir),
+        "doc_id",
+        "text",
+        shingle_n=5,
+        num_hashes=128,
+        bands=32,
+        threshold=0.8,
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=5, threshold=0.25)
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.brute_force_topk(e, "vec_id", "embedding", qvec, k=10)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 1000
+    )
+    return similarity.embedding_neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.4, n_planes=0
+    )
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.nullif(
+            F.regexp_extract(F.col("text"), r"\b(spark|stream|vector)\b", 1), F.lit("")
+        ).alias("first_kw"),
+    )
+
+
+def q_adaptive_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (rows-only check: the adaptive loop is not SQL-expressible)."""
+    return _flagship(spark, sf_dir)
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on planted dups (rows-only: xxhash64-based
+    signatures are not reproducible in ANSI SQL)."""
+    return dedup.simhash_pairs(
+        _planted_dups(spark, sf_dir), "doc_id", "text", max_hamming=12
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only: approximate by design;
+    verified against brute force in tests/)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.lsh_topk(e, "vec_id", "embedding", qvec, k=10, n_planes=4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tpch_q1": q_tpch_q1,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_orders_window": q_top_orders_window,
+        "events_tumbling": q_events_tumbling,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "lang_id_dist": q_lang_id_dist,
+        "exact_dedup": q_exact_dedup,
+        "minhash_neardup": q_minhash_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_topk": q_embedding_topk,
+        "embedding_neardup": q_embedding_neardup,
+        "regex_extract": q_regex_extract,
+        "adaptive_extract": q_adaptive_extract,
+        "simhash_neardup": q_simhash_neardup,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — generated from the same constants as the Spark side
+# ---------------------------------------------------------------------------
+
+
+def _sql_occurrences(col: str, word: str) -> str:
+    padded = f"(' ' || {col} || ' ')"
+    needle = f" {word} "
+    return (
+        f"CAST((length({padded}) - length(replace({padded}, '{needle}', '')))"
+        f" / {len(needle)} AS INT)"
+    )
+
+
+def _sql_token_count(col: str = "text") -> str:
+    return (
+        f"CASE WHEN trim({col}) = '' THEN 0 "
+        f"ELSE len(regexp_extract_all(trim({col}), '[^\\s]+')) END"
+    )
+
+
+def _sql_stopword_ratio(col: str = "text") -> str:
+    hits = " + ".join(_sql_occurrences(col, w) for w in T.STOPWORDS_EN)
+    n = _sql_token_count(col)
+    return f"CASE WHEN {n} > 0 THEN round(({hits}) * 1.0 / {n}, 4) ELSE 0.0 END"
+
+
+def _sql_mean_word_len(col: str = "text") -> str:
+    n = _sql_token_count(col)
+    chars = f"length(regexp_replace({col}, '\\s+', '', 'g'))"
+    return f"CASE WHEN {n} > 0 THEN round({chars} * 1.0 / {n}, 4) ELSE 0.0 END"
+
+
+def _sql_punct_ratio(col: str = "text") -> str:
+    stripped = f"length(regexp_replace({col}, '[A-Za-z0-9\\s]', '', 'g'))"
+    return (
+        f"CASE WHEN length({col}) > 0 "
+        f"THEN round({stripped} * 1.0 / length({col}), 4) ELSE 0.0 END"
+    )
+
+
+def _sql_quality(col: str = "text") -> str:
+    length_ok = f"(length({col}) >= 50 AND length({col}) <= 20000)"
+    sw_ok = f"({_sql_stopword_ratio(col)} >= 0.05)"
+    mwl = _sql_mean_word_len(col)
+    mwl_ok = f"({mwl} >= 2.0 AND {mwl} <= 12.0)"
+    punct_ok = f"({_sql_punct_ratio(col)} <= 0.2)"
+    return (
+        f"round((CAST({length_ok} AS INT) + CAST({sw_ok} AS INT) + "
+        f"CAST({mwl_ok} AS INT) + CAST({punct_ok} AS INT)) / 4.0, 4)"
+    )
+
+
+def _sql_lang_pred(col: str = "text") -> str:
+    scores = {
+        lang: " + ".join(_sql_occurrences(col, w) for w in words)
+        for lang, words in T.LANG_MARKERS.items()
+    }
+    exprs = {lang: f"({e})" for lang, e in scores.items()}
+    best = "greatest(" + ", ".join(exprs[lang] for lang in sorted(exprs)) + ")"
+    # descending lang-code order reproduces Spark's struct-max tie-break
+    chain = " ".join(
+        f"WHEN {exprs[lang]} = best THEN '{lang}'"
+        for lang in sorted(exprs, reverse=True)
+    )
+    return (
+        f"(SELECT CASE WHEN best = 0 THEN 'und' {chain} END "
+        f"FROM (SELECT {best} AS best))"
+    )
+
+
+_SQL_FINGERPRINT = (
+    "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+)
+
+_SQL_SHINGLES_CTE = """
+base AS (SELECT doc_id, lower(text) AS t FROM {src}),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i
+        FROM base),
+sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s FROM idx),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
+           FROM sh x JOIN sh y USING (s) WHERE x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+"""
+
+_SQL_JACCARD_PAIRS = (
+    "WITH "
+    + _SQL_SHINGLES_CTE
+    + """
+SELECT id_a, id_b,
+       round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}
+"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    planted = (
+        "SELECT doc_id, text FROM documents WHERE doc_id < 100 "
+        "UNION ALL "
+        "SELECT doc_id + 100000 AS doc_id, substr(text, 11) AS text "
+        "FROM documents WHERE doc_id < 100"
+    )
+    return {
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name AS nation,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_orders_window": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS totalprice, rk
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rk
+                FROM orders
+            )
+            WHERE rk <= 3
+        """,
+        "events_tumbling": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "doc_token_stats": f"""
+            SELECT doc_id,
+                   {_sql_token_count()} AS n_tokens,
+                   {_sql_mean_word_len()} AS mean_word_len,
+                   {_sql_punct_ratio()} AS punct_ratio
+            FROM documents
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   {_sql_stopword_ratio()} AS stopword_ratio,
+                   {_sql_quality()} AS quality
+            FROM documents
+        """,
+        "lang_id_dist": f"""
+            SELECT lang_pred, count(*) AS n_docs
+            FROM (SELECT {_sql_lang_pred()} AS lang_pred FROM documents)
+            GROUP BY lang_pred
+        """,
+        "exact_dedup": f"""
+            SELECT {_SQL_FINGERPRINT} AS fingerprint,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS group_size
+            FROM documents
+            GROUP BY 1
+        """,
+        "minhash_neardup": _SQL_JACCARD_PAIRS.format(
+            src=f"({planted})", threshold=0.8
+        ),
+        "ngram_jaccard": _SQL_JACCARD_PAIRS.format(
+            src="(SELECT doc_id, text FROM documents WHERE doc_id < 100)",
+            threshold=0.25,
+        ),
+        "embedding_topk": """
+            SELECT vec_id AS id,
+                   round(list_cosine_similarity(
+                       embedding::DOUBLE[],
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]
+                   ), 6) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, id ASC
+            LIMIT 10
+        """,
+        "embedding_neardup": """
+            SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                       x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings x
+            JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE x.vec_id < 1000 AND y.vec_id < 1000
+              AND list_cosine_similarity(
+                      x.embedding::DOUBLE[], y.embedding::DOUBLE[]) >= 0.4
+        """,
+        "regex_extract": r"""
+            SELECT doc_id,
+                   nullif(regexp_extract(text, '\b(spark|stream|vector)\b', 1), '')
+                       AS first_kw
+            FROM documents
+        """,
+        # adaptive_extract, simhash_neardup, ann_lsh_topk: intentionally no
+        # oracle (iterative/approximate/hash-engine-specific) -> rows-only.
+    }

@@ -1,0 +1,136 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+Every function here builds **JVM-side Column expressions** (whole-stage
+codegen, no Python in the hot path) — the Spark-first counterpart of the
+reference's row-at-a-time Python string ops. Python/pandas appears only
+where CPython ``re`` parity is required (see functions.rules) — these
+analytics ops have no such constraint, so they stay in the engine.
+
+All are deterministic and DuckDB-expressible, giving them exact SQL oracles
+in the driver's correctness harness (__spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/heuristic language ID.
+# Deliberately tiny: language ID over web text is a frequency heuristic,
+# not a model — the operator shape (per-language marker scoring + argmax)
+# is what matters at 100 TB, and markers are a config, not code.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "pt": ["o", "de", "que", "em", "uma"],
+}
+
+STOPWORDS_EN = ["the", "a", "of", "to", "and", "in", "is", "it", "that", "for"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty text -> empty array (not [''])."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def word_occurrences(col: Column, word: str) -> Column:
+    """Count of a token (word-boundary by whitespace) — the substring-count
+    formulation keeps it expressible identically in ANSI SQL."""
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("int")
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    sw = stopwords or STOPWORDS_EN
+    total = token_count(col)
+    hits = sum(word_occurrences(col, w) for w in sw)
+    return F.when(total > 0, F.round(hits / total, 4)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.when(
+        F.length(col) > 0, F.round(F.length(stripped) / F.length(col), 4)
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column) -> Column:
+    n = token_count(col)
+    chars = F.length(F.regexp_replace(col, r"\s+", ""))
+    return F.when(n > 0, F.round(chars / n, 4)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence +
+    sane mean word length + low punctuation noise. The exact weights are a
+    policy choice; determinism + SQL-oracle-ability are the contract."""
+    length_ok = (F.length(col) >= 50) & (F.length(col) <= 20000)
+    sw_ok = stopword_ratio(col) >= 0.05
+    mwl = mean_word_length(col)
+    mwl_ok = (mwl >= 2.0) & (mwl <= 12.0)
+    punct_ok = punct_ratio(col) <= 0.2
+    score = (
+        length_ok.cast("int")
+        + sw_ok.cast("int")
+        + mwl_ok.cast("int")
+        + punct_ok.cast("int")
+    ) / 4.0
+    return F.round(score, 4)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    return {
+        lang: sum(word_occurrences(col, w) for w in words)
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over marker-word scores; 'und' when all zero. Ties broken by
+    language code order (deterministic)."""
+    scores = lang_scores(col)
+    pairs = [
+        F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+        for lang in sorted(scores)
+    ]
+    best = F.greatest(*pairs) if len(pairs) > 1 else pairs[0]
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def char_ngrams(col: Column, n: int = 5) -> Column:
+    """Distinct character n-grams (shingles) of the lowercased text —
+    the dedup primitive. JVM-side: sequence + transform + substring."""
+    lowered = F.lower(col)
+    length = F.length(lowered)
+    idx = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: lowered.substr(i, F.lit(n)))
+    return F.array_distinct(grams)
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Deterministic 64-bit document fingerprint: xxhash64 of the
+    whitespace-normalized, lowercased text. The canonical exact-dedup key
+    (content-defined, layout-insensitive)."""
+    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    return F.xxhash64(normalized)
+
+
+def doc_fingerprint_md5(col: Column) -> Column:
+    """Portable variant of :func:`doc_fingerprint` (md5 hex — identical in
+    every engine, used when a cross-engine oracle must reproduce it)."""
+    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    return F.md5(normalized)

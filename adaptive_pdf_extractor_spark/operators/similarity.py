@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+
+* **Brute-force cosine top-k** — exact; one narrow pass computing dot/norms
+  as JVM Column algebra (F.aggregate / F.zip_with — no Python, no shuffle
+  until the top-k), then a global top-k. The baseline and the verifier.
+* **LSH-bucketed (random hyperplane)** — signs of dot products with D
+  deterministic pseudo-random hyperplanes form a bucket key; search only
+  the query's bucket (optionally multi-probe neighbors). The 100 TB path:
+  candidate set shrinks ~2^D-fold per probe.
+
+Hyperplanes are generated from a seed via splitmix64 so driver and
+executors agree without shipping arrays.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine to a constant query vector.
+
+    Plan: project (codegen'd dot/norm) -> TakeOrderedAndProject — Spark
+    pushes the limit into each partition (partial top-k) before the single
+    final merge, so the shuffle carries k rows per partition, not the
+    corpus."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _splitmix(seed: int) -> float:
+    z = (seed + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    z = z ^ (z >> 31)
+    return (z / 2**64) * 2.0 - 1.0  # uniform [-1, 1)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (unit-normalized)."""
+    planes = []
+    for p in range(n_planes):
+        v = [_splitmix(seed * 1_000_003 + p * dim + i) for i in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_bucket_expr(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = bits of sign(v . h_p)."""
+    bits = []
+    for p, plane in enumerate(planes):
+        h = F.array(*[F.lit(float(x)) for x in plane])
+        bits.append(
+            F.when(_dot(vec_col.cast("array<double>"), h) >= 0, F.lit(1 << p)).otherwise(
+                F.lit(0)
+            )
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only vectors sharing the query's hyperplane
+    bucket. Recall < 1 by construction (use multi-probe / fewer planes to
+    trade cost for recall); the brute-force operator is the verifier."""
+    planes = hyperplanes(len(query_vec), n_planes, seed)
+    qdot = [sum(q * h for q, h in zip(query_vec, plane)) for plane in planes]
+    qbucket = sum((1 << p) for p, d in enumerate(qdot) if d >= 0)
+    bucketed = df.withColumn("_bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    return brute_force_topk(
+        bucketed.filter(F.col("_bucket") == qbucket), id_col, vec_col, query_vec, k
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 0,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """All pairs with cosine >= threshold. n_planes=0 -> exact (self-join;
+    quadratic — candidate sets / small corpora). n_planes>0 -> LSH-bucketed
+    self-join (pairs must share the bucket — the scale path)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if n_planes > 0:
+        if dim is None:
+            dim = len(base.first()["vec"])
+        planes = hyperplanes(dim, n_planes, seed)
+        base = base.withColumn("_bucket", lsh_bucket_expr(F.col("vec"), planes))
+        join_cond = ["_bucket"]
+        x, y = base.alias("x"), base.alias("y")
+        joined = x.join(y, join_cond)
+    else:
+        x, y = base.alias("x"), base.alias("y")
+        joined = x.crossJoin(y)
+    return (
+        joined.filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.round(cosine(F.col("x.vec").cast("array<double>"), F.col("y.vec").cast("array<double>")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,117 @@
+"""Dedup + similarity operators: planted-duplicate recall, LSH vs brute
+force, exact dedup semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adaptive_pdf_extractor_spark.operators import dedup, similarity
+from adaptive_pdf_extractor_spark.sources import corpus as corpus_mod
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 base docs (synthetic OAB text) + planted near-dups + exact dups."""
+    rows = []
+    base = [
+        corpus_mod.synth_record(seed=31, doc_id=f"c/{i}")["pdf_text"] for i in range(60)
+    ]
+    for i, t in enumerate(base):
+        rows.append({"doc_id": i, "text": t})
+    # exact duplicates of docs 0..4 (ids 100..104)
+    for i in range(5):
+        rows.append({"doc_id": 100 + i, "text": base[i]})
+    # near-duplicates of docs 10..14: drop first 12 chars (ids 200..204)
+    for i in range(5):
+        rows.append({"doc_id": 200 + i, "text": base[10 + i][12:]})
+    return spark.createDataFrame(rows).cache()
+
+
+def test_exact_dedup(corpus):
+    groups = dedup.exact_dedup_groups(corpus, "doc_id", "text").collect()
+    sizes = sorted(g["group_size"] for g in groups)
+    assert sizes.count(2) == 5  # five exact-dup groups
+    dup_groups = [g for g in groups if g["group_size"] == 2]
+    assert {g["canonical_id"] for g in dup_groups} == {0, 1, 2, 3, 4}
+    kept = dedup.exact_dedup_keep(corpus, "doc_id", "text")
+    assert kept.count() == 65  # 70 rows - 5 dups
+    assert kept.filter(F.col("doc_id") >= 100).filter(F.col("doc_id") < 200).count() == 0
+
+
+def test_minhash_recall_equals_bruteforce(corpus):
+    """Planted near-dups: LSH-verified pairs == exact jaccard pairs at 0.8
+    (recall ~1 with 128 hashes / 32 bands)."""
+    lsh = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(
+            corpus, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            corpus, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert lsh == brute
+    # exact dups (jaccard 1.0) and near-dups must both be found
+    assert {(i, 100 + i) for i in range(5)} <= {(a, b) for a, b, _ in lsh}
+    assert {(10 + i, 200 + i) for i in range(5)} <= {(a, b) for a, b, _ in lsh}
+
+
+def test_simhash_finds_planted_dups(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_pairs(
+            corpus, "doc_id", "text", max_hamming=6
+        ).collect()
+    }
+    # exact dups have hamming 0 and identical prefix -> always found
+    assert {(i, 100 + i) for i in range(5)} <= pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(200):
+        v = rng.randn(16)
+        rows.append({"vec_id": i, "embedding": [float(x) for x in v]})
+    # near-dup of vec 3: tiny perturbation (id 900)
+    base = np.array(rows[3]["embedding"])
+    rows.append(
+        {"vec_id": 900, "embedding": [float(x) for x in base + rng.randn(16) * 0.01]}
+    )
+    return spark.createDataFrame(rows).cache()
+
+
+def test_brute_force_topk(vectors):
+    q = [r for r in vectors.collect() if r["vec_id"] == 3][0]["embedding"]
+    top = similarity.brute_force_topk(vectors, "vec_id", "embedding", list(q), k=3).collect()
+    assert top[0]["id"] == 3 and abs(top[0]["cosine"] - 1.0) < 1e-6
+    assert top[1]["id"] == 900 and top[1]["cosine"] > 0.99
+
+
+def test_embedding_neardup_pairs(vectors):
+    pairs = similarity.embedding_neardup_pairs(
+        vectors, "vec_id", "embedding", threshold=0.95
+    ).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(3, 900)}
+
+
+def test_lsh_topk_contains_query_neighbors(vectors):
+    """LSH-bucketed search finds the identical vector (same bucket by
+    construction) — approximate recall for others is evaluated vs brute."""
+    q = [r for r in vectors.collect() if r["vec_id"] == 3][0]["embedding"]
+    top = similarity.lsh_topk(
+        vectors, "vec_id", "embedding", list(q), k=5, n_planes=4
+    ).collect()
+    ids = [r["id"] for r in top]
+    assert 3 in ids  # exact match always shares the bucket
+    brute = similarity.brute_force_topk(vectors, "vec_id", "embedding", list(q), k=5)
+    brute_ids = [r["id"] for r in brute.collect()]
+    recall = len(set(ids) & set(brute_ids)) / 5
+    assert recall >= 0.4  # coarse bound: 4 planes halve the space 4x

@@ -1,0 +1,97 @@
+"""Mirror of the driver's correctness gate: run every ``queries()`` entry in
+Spark and its ``oracle_sql()`` twin in DuckDB on the same parquet tables;
+compare row count + order-insensitive values. Runs at sf0.001 (the driver
+uses sf0.01 — same data generator, 10x rows)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return round(float(v), 6)
+    return v
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(_normalize_cell(r[i]) for i in order) for r in rows
+    )
+
+
+ORACLED = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = ddb.execute(entry_mod.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    a = _rowset(spark_cols, spark_rows)
+    b = _rowset(duck_cols, duck_rows)
+    mismatches = [(x, y) for x, y in zip(a, b) if x != y]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_rows_only_queries_run(spark):
+    """Queries without an oracle must still run and return rows."""
+    qs = entry_mod.queries()
+    no_oracle = set(qs) - set(entry_mod.oracle_sql())
+    assert no_oracle == {"adaptive_extract", "simhash_neardup", "ann_lsh_topk"}
+    for name in sorted(no_oracle):
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        assert n >= 0, name
+        if name == "adaptive_extract":
+            assert n > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["doc_id", "field", "value", "field_pos"]

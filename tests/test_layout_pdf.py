@@ -1,0 +1,185 @@
+"""Layout analysis (XY-cut, header/footer, boilerplate strip) and the PDF
+byte-stream source."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adaptive_pdf_extractor_spark.operators.layout import (
+    Block,
+    boilerplate_strip,
+    classify_header_footer,
+    reading_order_text,
+    segment_blocks,
+    xy_cut,
+)
+from adaptive_pdf_extractor_spark.sources import pdf as pdf_mod
+
+
+def B(text, x0, y0, x1, y1, page=0):
+    return Block(text=text, x0=x0, y0=y0, x1=x1, y1=y1, page=page)
+
+
+# ---------------------------------------------------------------------------
+# XY-cut
+# ---------------------------------------------------------------------------
+
+
+def test_xy_cut_two_columns():
+    """Classic two-column page: left column read fully before right."""
+    blocks = [
+        B("L1", 0, 0, 40, 10),
+        B("R1", 60, 0, 100, 10),
+        B("L2", 0, 20, 40, 30),
+        B("R2", 60, 20, 100, 30),
+    ]
+    ordered = [b.text for b in xy_cut(blocks, min_gap=5)]
+    assert ordered == ["L1", "L2", "R1", "R2"]
+
+
+def test_xy_cut_title_then_columns():
+    blocks = [
+        B("TITLE", 0, 0, 100, 10),
+        B("L1", 0, 30, 40, 40),
+        B("R1", 60, 30, 100, 40),
+        B("L2", 0, 50, 40, 60),
+    ]
+    ordered = [b.text for b in xy_cut(blocks, min_gap=5)]
+    assert ordered == ["TITLE", "L1", "L2", "R1"]
+
+
+def test_xy_cut_no_gaps_falls_back_to_position_sort():
+    blocks = [B("b", 0, 5, 10, 15), B("a", 0, 0, 10, 10)]
+    assert [b.text for b in xy_cut(blocks, min_gap=1)] == ["a", "b"]
+
+
+def test_xy_cut_single_and_empty():
+    assert xy_cut([]) == []
+    one = [B("x", 0, 0, 1, 1)]
+    assert xy_cut(one) == one
+
+
+# ---------------------------------------------------------------------------
+# segmentation + header/footer
+# ---------------------------------------------------------------------------
+
+
+def test_segment_blocks_merges_adjacent_lines():
+    lines = [
+        B("line1", 0, 0, 50, 10),
+        B("line2", 0, 11, 50, 21),   # gap 1 -> same block
+        B("para2", 0, 50, 50, 60),   # gap 29 -> new block
+    ]
+    blocks = segment_blocks(lines, line_gap=2.0)
+    assert [b.text for b in blocks] == ["line1\nline2", "para2"]
+
+
+def test_classify_header_footer():
+    blocks = [
+        B("HEADER", 0, 0, 100, 5),
+        B("body", 0, 100, 100, 110),
+        B("FOOTER", 0, 792, 100, 800),
+    ]
+    tags = dict(
+        (b.text, t) for b, t in classify_header_footer(blocks, page_height=800)
+    )
+    assert tags == {"HEADER": "header", "body": "body", "FOOTER": "footer"}
+
+
+def test_reading_order_identity_on_single_block():
+    """SURVEY §2.11 invariant: single-block docs pass through verbatim."""
+    text = "Nome João\nInscricao 123"
+    assert reading_order_text([B(text, 0, 0, 100, 100)], page_height=800) == text
+    assert reading_order_text([], page_height=800) == ""
+
+
+def test_reading_order_strips_header_footer():
+    blocks = [
+        B("SITE NAV", 0, 0, 100, 5),
+        B("content A", 0, 100, 100, 110),
+        B("content B", 0, 200, 100, 210),
+        B("page 3 of 99", 0, 790, 100, 800),
+    ]
+    out = reading_order_text(blocks, page_height=800)
+    assert out == "content A\ncontent B"
+
+
+# ---------------------------------------------------------------------------
+# fake-PDF container round-trip + distributed ingestion
+# ---------------------------------------------------------------------------
+
+
+def test_fake_pdf_roundtrip(tmp_path):
+    blocks = [
+        B("HEADER", 0, 0, 100, 5),
+        B("Nome João Inscricao 123456", 0, 100, 100, 120),
+        B("FOOTER", 0, 780, 100, 800),
+    ]
+    data = pdf_mod.make_fake_pdf(blocks, media_refs=["media://img/1"], page_height=800)
+    parsed_blocks, media, height = pdf_mod.parse_pdf_bytes(data)
+    assert parsed_blocks == blocks
+    assert media == ["media://img/1"]
+    row = pdf_mod.pdf_bytes_to_span_rows("d1", data)
+    texts = [s["text"] for s in row["spans"] if s["kind"] == "text"]
+    assert "".join(texts) == "Nome João Inscricao 123456"
+    media_spans = [s for s in row["spans"] if s["kind"] == "media"]
+    assert [m["media_ref"] for m in media_spans] == ["media://img/1"]
+
+
+def test_parse_real_pdf_without_lib_raises():
+    with pytest.raises((NotImplementedError, Exception)):
+        pdf_mod.parse_pdf_bytes(b"%PDF-1.7 garbage")
+    with pytest.raises(ValueError):
+        pdf_mod.parse_pdf_bytes(b"not a pdf at all")
+
+
+def test_read_pdf_corpus_distributed(spark, tmp_path):
+    for i in range(6):
+        blocks = [
+            B("COMMON HEADER", 0, 0, 100, 5),
+            B(f"doc body {i}", 0, 100, 100, 120),
+        ]
+        (tmp_path / f"doc{i}.fpdf").write_bytes(
+            pdf_mod.make_fake_pdf(blocks, page_height=800)
+        )
+    df = pdf_mod.read_pdf_corpus(spark, str(tmp_path / "*.fpdf"))
+    rows = df.collect()
+    assert len(rows) == 6
+    texts = {
+        "".join(s["text"] for s in r["spans"] if s["kind"] == "text") for r in rows
+    }
+    assert texts == {f"doc body {i}" for i in range(6)}  # header stripped
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency boilerplate strip (distributed)
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_strip(spark):
+    rows = []
+    for i in range(20):
+        body = f"unique content {i}\nsecond line {i * 7}"
+        rows.append(
+            {
+                "doc_id": i,
+                "source": "siteA",
+                "text": f"SITE A NAVBAR\n{body}\nCOPYRIGHT SITE A",
+            }
+        )
+    for i in range(20, 30):
+        rows.append(
+            {"doc_id": i, "source": "siteB", "text": f"other {i}\nSITE A NAVBAR"}
+        )
+    df = spark.createDataFrame(rows)
+    out = boilerplate_strip(df, min_doc_frac=0.6, min_docs=5)
+    got = {r["doc_id"]: r["text_clean"] for r in out.collect()}
+    # siteA boilerplate removed from siteA docs
+    assert got[0] == "unique content 0\nsecond line 0"
+    assert "NAVBAR" not in got[5] and "COPYRIGHT" not in got[5]
+    # the same line on siteB survives there (per-source thresholds), because
+    # siteB has 10 docs and the line appears in all -> stripped there too
+    assert "NAVBAR" not in got[25]
+    # unique lines intact
+    assert got[25] == "other 25"
