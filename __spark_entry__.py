@@ -46,24 +46,14 @@ def _flagship(spark: SparkSession, sf_dir: str, max_rounds: int = 3) -> DataFram
         ExtractionPipeline,
         PipelineConfig,
     )
-    from adaptive_pdf_extractor_spark.sources import corpus as corpus_mod
-    from adaptive_pdf_extractor_spark.sources.corpus import INPUT_DDL
+    from adaptive_pdf_extractor_spark.sources import spark_io
 
-    ids = [r["doc_id"] for r in _docs(spark, sf_dir).select("doc_id").collect()]
-    rows = []
-    for i in sorted(ids):
-        doc_id = f"flagship/{int(i):09d}"
-        rec = corpus_mod.synth_record(seed=13, doc_id=doc_id)
-        rows.append(
-            {
-                "doc_id": doc_id,
-                "spans": corpus_mod.text_to_spans(doc_id, rec["pdf_text"]),
-                "label": rec["label"],
-                "schema_fields": rec["schema_fields"],
-                "expected": rec["expected"],
-            }
-        )
-    docs = spark.createDataFrame(rows, schema=INPUT_DDL)
+    # corpus size keyed by the sf's documents table; generation itself is
+    # distributed (order-independent per-id seeding), never driver-side
+    n_docs = _docs(spark, sf_dir).count()
+    docs = spark_io.synthetic_corpus_df(
+        spark, seed=13, count=n_docs, corpus="flagship"
+    )
     run_dir = tempfile.mkdtemp(prefix="flagship_run_")
     pipe = ExtractionPipeline(
         spark,

@@ -133,24 +133,31 @@ def embedding_neardup_pairs(
     """All pairs with cosine >= threshold. n_planes=0 -> exact (self-join;
     quadratic — candidate sets / small corpora). n_planes>0 -> LSH-bucketed
     self-join (pairs must share the bucket — the scale path)."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # Norms are hoisted out of the O(n^2) pair loop: computed once per row
+    # (same fold order as inline, so the float result — and the DuckDB
+    # oracle match — is bit-identical), pairs then cost one dot product.
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("nrm", _norm(F.col("vec")))
     if n_planes > 0:
         if dim is None:
             dim = len(base.first()["vec"])
         planes = hyperplanes(dim, n_planes, seed)
         base = base.withColumn("_bucket", lsh_bucket_expr(F.col("vec"), planes))
-        join_cond = ["_bucket"]
         x, y = base.alias("x"), base.alias("y")
-        joined = x.join(y, join_cond)
+        joined = x.join(y, ["_bucket"])
     else:
         x, y = base.alias("x"), base.alias("y")
         joined = x.crossJoin(y)
+    cos = _dot(F.col("x.vec"), F.col("y.vec")) / (F.col("x.nrm") * F.col("y.nrm"))
     return (
         joined.filter(F.col("x.id") < F.col("y.id"))
+        .withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)  # threshold pre-rounding (= oracle)
         .select(
             F.col("x.id").alias("id_a"),
             F.col("y.id").alias("id_b"),
-            F.round(cosine(F.col("x.vec").cast("array<double>"), F.col("y.vec").cast("array<double>")), 6).alias("cosine"),
+            F.round(F.col("_cos"), 6).alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold)
     )

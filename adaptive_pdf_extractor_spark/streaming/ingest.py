@@ -1,0 +1,78 @@
+"""Streaming ingestion + extraction.
+
+The reference is batch-only; its only streaming-like trait is the cache
+evolving mid-scan (SURVEY §2.9), which the round loop already recasts. This
+module adds the forward-looking leg: documents arriving as a stream are
+extracted with the **current converged rulebook** (frozen per micro-batch —
+the broadcast is immutable within a batch, exactly like one refinement
+round), with watermarked windowed metrics for late data.
+
+Rule evolution stays in the batch round loop: streams extract, batches
+learn. (Mining inside the stream would reintroduce the order-dependent
+mutable cache the north_rule explicitly recasts away.)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rules import RuleBook
+from ..operators.extract import EXTRACTED_DDL, make_extract_fn
+from ..sources.corpus import INPUT_DDL
+
+
+def streaming_extract(stream_docs: DataFrame, rulebook: RuleBook) -> DataFrame:
+    """Streaming span-table -> streaming extraction output. mapInPandas is
+    fully supported on streaming DataFrames (stateless per-batch), so this
+    is the same fused operator as the batch path — one code path, two
+    execution modes."""
+    spark = stream_docs.sparkSession
+    bc = spark.sparkContext.broadcast(rulebook)
+    fn = make_extract_fn(bc)
+    return stream_docs.mapInPandas(fn, schema=EXTRACTED_DDL)
+
+
+def with_event_time(extracted: DataFrame, ts_col: str = "ingest_ts") -> DataFrame:
+    return extracted.withColumn(ts_col, F.current_timestamp())
+
+
+def windowed_extraction_metrics(
+    extracted: DataFrame,
+    ts_col: str = "ingest_ts",
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Watermarked tumbling-window metrics: docs, rule hits, unresolved
+    fields per window — the streaming twin of the batch round metrics."""
+    return (
+        extracted.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(
+                F.size(F.filter("hits", lambda h: h["path"] == F.lit("rule")))
+            ).alias("rule_hits"),
+            F.sum(F.size("unresolved")).alias("unresolved_fields"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "docs",
+            "rule_hits",
+            "unresolved_fields",
+        )
+    )
+
+
+def file_stream_source(
+    spark: SparkSession, path: str, max_files_per_trigger: Optional[int] = None
+) -> DataFrame:
+    """Span-table parquet directory as a stream (the Iceberg-shaped landing
+    zone pattern: writers append files, the extractor tails them)."""
+    reader = spark.readStream.schema(INPUT_DDL).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)

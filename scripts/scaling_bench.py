@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Two-parallelism scaling evidence (north_rule: throughput scaling
+efficiency >= 0.8 between N and 4N executors; sandbox stand-in: local[8]
+vs local[32] on identical input — per driver instruction).
+
+Runs the steady-state fast-path extraction workload (the north_star metric:
+docs/sec) in two fresh subprocesses (a JVM's master is fixed at startup),
+each timing extraction only (corpus materialized before the clock starts),
+and writes BENCH.md with throughput at both levels + efficiency.
+
+Usage: python3 scripts/scaling_bench.py [n_docs] [trials]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from adaptive_pdf_extractor_spark.session import get_spark
+from adaptive_pdf_extractor_spark.functions.rules import RuleBook
+from adaptive_pdf_extractor_spark.operators.extract import extract_documents
+from adaptive_pdf_extractor_spark.sources import corpus as corpus_mod, spark_io
+
+cpus = %(cpus)d
+n_docs = %(n_docs)d
+trials = %(trials)d
+spark = get_spark(app_name="scaling-%%d" %% cpus, cpus=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+
+book = RuleBook.from_rows(corpus_mod.reference_cache_to_rule_rows(
+    "/root/reference/data/fake/caches/fake_dataset_1000samples_seed_1_cache.json"))
+corpus = spark_io.synthetic_corpus_df(spark, seed=99, count=n_docs,
+                                      partitions=max(cpus * 2, 16)).persist()
+corpus.count()
+
+# warmup (JVM + Python workers + broadcast)
+extract_documents(corpus.limit(2000), book).count()
+
+times = []
+for t in range(trials):
+    t0 = time.time()
+    out = extract_documents(corpus, book)
+    out.select(F.sum(F.size("spans")), F.sum(F.size("unresolved"))).collect()
+    times.append(time.time() - t0)
+best = min(times)
+print(json.dumps({"cpus": cpus, "n_docs": n_docs, "times": times,
+                  "best_sec": round(best, 3),
+                  "docs_per_sec": round(n_docs / best, 1)}))
+spark.stop()
+"""
+
+
+def run(cpus: int, n_docs: int, trials: int) -> dict:
+    code = WORKER % {"repo": REPO, "cpus": cpus, "n_docs": n_docs, "trials": trials}
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        cwd=REPO,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    lo = run(8, n_docs, trials)
+    hi = run(32, n_docs, trials)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
+    result = {
+        "workload": "fast-path extraction (converged rules, steady state)",
+        "n_docs": n_docs,
+        "trials": trials,
+        "local8": lo,
+        "local32": hi,
+        "speedup_8_to_32": round(hi["docs_per_sec"] / lo["docs_per_sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result, indent=1))
+    with open(os.path.join(REPO, "scaling_result.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Structured Streaming extraction: file-source micro-batches through the
+same fused operator as batch, with golden-equivalent results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adaptive_pdf_extractor_spark.functions.rules import RuleBook
+from adaptive_pdf_extractor_spark.operators.extract import extract_documents
+from adaptive_pdf_extractor_spark.sources import corpus as corpus_mod
+from adaptive_pdf_extractor_spark.sources import spark_io
+from adaptive_pdf_extractor_spark.streaming import ingest
+
+CACHE = "/root/reference/data/fake/caches/fake_dataset_1000samples_seed_1_cache.json"
+
+
+@pytest.fixture(scope="module")
+def rulebook():
+    return RuleBook.from_rows(corpus_mod.reference_cache_to_rule_rows(CACHE))
+
+
+def test_streaming_extract_equals_batch(spark, rulebook, tmp_path):
+    docs = spark_io.synthetic_corpus_df(spark, seed=17, count=300, partitions=3)
+    src = str(tmp_path / "landing")
+    docs.write.parquet(src)
+
+    stream = ingest.file_stream_source(spark, src, max_files_per_trigger=1)
+    assert stream.isStreaming
+    out = ingest.streaming_extract(stream, rulebook)
+
+    q = (
+        out.select("doc_id", "spans")
+        .writeStream.format("memory")
+        .queryName("stream_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r["spans"]
+        for r in spark.sql("SELECT * FROM stream_out").collect()
+    }
+    batch = {
+        r["doc_id"]: r["spans"]
+        for r in extract_documents(docs, rulebook).select("doc_id", "spans").collect()
+    }
+    assert got.keys() == batch.keys()
+    assert got == batch
+
+
+def test_windowed_metrics_stream(spark, rulebook, tmp_path):
+    docs = spark_io.synthetic_corpus_df(spark, seed=23, count=120, partitions=2)
+    src = str(tmp_path / "landing2")
+    docs.write.parquet(src)
+
+    stream = ingest.file_stream_source(spark, src)
+    extracted = ingest.with_event_time(ingest.streaming_extract(stream, rulebook))
+    metrics = ingest.windowed_extraction_metrics(extracted, window="1 hour")
+
+    q = (
+        metrics.writeStream.format("memory")
+        .queryName("stream_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # watermark append-mode emits only closed windows; with availableNow the
+    # single open window may be withheld — assert via complete-mode rerun
+    q2 = (
+        metrics.writeStream.format("memory")
+        .queryName("stream_metrics_c")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stream_metrics_c").collect()
+    assert sum(r["docs"] for r in rows) == 120
+    assert all(r["rule_hits"] is not None for r in rows)
