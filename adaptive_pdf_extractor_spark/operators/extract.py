@@ -1,27 +1,32 @@
 """The fused fast-path extraction operator.
 
-One ``mapInPandas`` pass per refinement round does everything the
-reference's per-document loop did (reference src/main.py:179-325 fast path +
-src/pipeline.py:22-64), vectorized per Arrow batch:
+One pass per refinement round does everything the reference's per-document
+loop did (reference src/main.py:179-325 fast path + src/pipeline.py:22-64),
+split between the JVM and Arrow-batched Python by what each is good at:
 
-    assemble text from spans -> normalize -> per (label, field): first-match
-    rule application in priority order -> output span construction + media
-    passthrough -> hit/miss bookkeeping for weight aggregation and mining.
+* **JVM (whole-stage codegen)**: span assembly (concat of text spans in
+  offset order — pure concatenation, no regex), media extraction, output
+  span-struct and hit-struct construction, partition ids. Nested structs
+  never cross the Arrow boundary.
+* **Python (Arrow batches)**: normalization + rule application — the parts
+  contractually bound to CPython ``re`` (learned rules use inline flags,
+  lookaheads and Unicode classes whose Java-regex behavior differs;
+  SURVEY §2.2). Only flat string/long arrays cross Arrow, which measurably
+  cuts UDF serde (the local-mode JVM/Python contention source).
 
-The rule set rides in as a **broadcast** ``RuleBook`` (KB-scale — ~300 B per
-rule measured on the reference's converged caches), so the pass is a
-broadcast nested-loop join with first-match short-circuit: zero shuffle,
-scales linearly with executors. Weights are NOT mutated in place (the
+The rule set rides in as a **broadcast** ``RuleBook`` (KB-scale), so the
+pass is a broadcast nested-loop join with first-match short-circuit: zero
+shuffle, linear in executors. Weights are NOT mutated in place (the
 reference bubbles a linked list, src/cache.py:249-289); each resolved
 (doc, field) emits its winning ``rule_id`` and the driver aggregates
-``groupBy(rule_id).count()`` into the rules table per round — end-of-round
-totals are order-independent, which preserves the reference's end-state
-(SURVEY §2.4).
+``groupBy(rule_id).count()`` per round — end-of-round totals are
+order-independent, preserving the reference's end state (SURVEY §2.4).
 
 Optional ``direct_extractor`` is the deterministic slow-path analog of the
-reference's LLM extractor (src/pipeline.py:72-143): a callable
-``(label, fields, texts: pd.Series) -> dict[field -> pd.Series]`` consulted
-only for (doc, field) pairs no rule resolved.
+reference's LLM extractor (src/pipeline.py:72-143): consulted only for
+(doc, field) pairs no rule resolved.
+
+Works identically on batch and streaming DataFrames (stateless per batch).
 """
 
 from __future__ import annotations
@@ -30,23 +35,18 @@ from typing import Callable, Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions.normalize import normalize_series
 from ..functions.rules import RuleBook, apply_rules_vectorized
 
-EXTRACTED_DDL = (
-    "doc_id string, "
-    "label string, "
-    "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
-    "hits array<struct<field:string,rule_id:bigint,path:string>>, "
-    "unresolved array<string>, "
-    "n_text_spans int, n_media_spans int, "
-    # mining payload — populated only for docs with unresolved fields so the
-    # round loop never re-normalizes the corpus; null for resolved docs
-    # (keeps the fast-path output narrow at scale)
-    "norm_text string, all_fields array<string>, "
-    # executor partition id for per-partition lineage/metrics
-    "part_id int"
+# UDF-boundary schema: flat arrays/scalars only (cheap Arrow transport).
+_UDF_DDL = (
+    "doc_id string, label string, "
+    "fields array<string>, values array<string>, "
+    "rule_ids array<bigint>, paths array<string>, "
+    "norm_text string, media_refs array<string>, "
+    "n_text_spans int, part_id int"
 )
 
 # path markers for per-field provenance (metrics + tests)
@@ -55,47 +55,13 @@ PATH_DIRECT = "direct"   # resolved by the deterministic direct extractor
 PATH_NONE = "none"       # unresolved -> null output value
 
 
-def _assemble(spans: list) -> tuple[str, list]:
-    """Split one span array into (document text, media spans in order).
-
-    Spans arrive offset-ordered from the writer; sort defensively anyway
-    (offset order is the contract, array order is not).
-    """
-    # spans arrives as a numpy array of dicts from Arrow — length-check, not
-    # truthiness (ambiguous for arrays)
-    ordered = (
-        sorted(spans, key=lambda s: s["offset"])
-        if spans is not None and len(spans)
-        else []
-    )
-    text_parts = []
-    media = []
-    for s in ordered:
-        if s["kind"] == "text":
-            text_parts.append(s["text"] or "")
-        elif s["kind"] == "media":
-            media.append(s)
-    return "".join(text_parts), media
-
-
-def make_extract_fn(
-    rulebook_bc,
-    direct_extractor: Optional[Callable] = None,
+def _make_udf(
+    rulebook_bc, direct_extractor: Optional[Callable]
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
-    """Build the mapInPandas function over input-span batches.
+    """Python stage: (doc_id, label, raw_text, fields, passthrough...) in,
+    flat (values, rule_ids, paths) arrays + echoed passthrough out."""
 
-    ``rulebook_bc``: a ``sc.broadcast(RuleBook)`` handle (or a plain
-    RuleBook for in-process testing).
-    """
-
-    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from pyspark import TaskContext
-
-            tc = TaskContext.get()
-            part_id = tc.partitionId() if tc is not None else -1
-        except Exception:
-            part_id = -1
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         book: RuleBook = (
             rulebook_bc.value if hasattr(rulebook_bc, "value") else rulebook_bc
         )
@@ -103,26 +69,19 @@ def make_extract_fn(
             n = len(pdf)
             if n == 0:
                 continue
-            assembled = [_assemble(sp) for sp in pdf["spans"]]
-            texts = normalize_series(
-                pd.Series([a[0] for a in assembled], index=pdf.index, dtype="object")
-            )
-            media_lists = [a[1] for a in assembled]
-            n_text = [sum(1 for s in sp if s["kind"] == "text") for sp in pdf["spans"]]
+            texts = normalize_series(pdf["raw_text"].astype("object"))
 
-            # Group rows by (label, ordered field tuple) so each group gets
-            # one vectorized pass per field. In practice one group per label.
-            field_names = [
-                tuple(f["name"] for f in sf) for sf in pdf["schema_fields"]
+            field_tuples = [
+                tuple(ft) if ft is not None else () for ft in pdf["fields"]
             ]
             groups: dict[tuple, list[int]] = {}
-            for pos, key in enumerate(zip(pdf["label"], field_names)):
+            for pos, key in enumerate(zip(pdf["label"], field_tuples)):
                 groups.setdefault(key, []).append(pos)
 
-            # per-row accumulators (positional)
             out_values: list[list] = [[] for _ in range(n)]
-            out_hits: list[list] = [[] for _ in range(n)]
-            out_unres: list[list] = [[] for _ in range(n)]
+            out_ids: list[list] = [[] for _ in range(n)]
+            out_paths: list[list] = [[] for _ in range(n)]
+            any_unres = [False] * n
 
             for (label, fields), positions in groups.items():
                 idx = pdf.index[positions]
@@ -131,12 +90,7 @@ def make_extract_fn(
                 for fname in fields:
                     rules = book.rules_for(label, fname)
                     vals, ids = apply_rules_vectorized(gtexts, rules)
-                    need_direct = (
-                        [i for i in idx if ids.loc[i] == -1]
-                        if direct_extractor is not None
-                        else []
-                    )
-                    if need_direct:
+                    if direct_extractor is not None and (ids == -1).any():
                         if fname not in direct_cache:
                             direct_cache[fname] = direct_extractor(
                                 label, list(fields), fname, gtexts
@@ -147,68 +101,46 @@ def make_extract_fn(
                         if rid != -1:
                             v = vals.loc[i]
                             # "" -> null in the answer (src/pipeline.py:52-57)
-                            out_values[pos].append((fname, None if v == "" else v))
-                            out_hits[pos].append(
-                                {"field": fname, "rule_id": int(rid), "path": PATH_RULE}
-                            )
-                        elif direct_extractor is not None and i in dvals.index and dvals.loc[i] is not None:
-                            v = dvals.loc[i]
-                            out_values[pos].append((fname, None if v == "" else v))
-                            out_hits[pos].append(
-                                {"field": fname, "rule_id": -1, "path": PATH_DIRECT}
-                            )
-                            out_unres[pos].append(fname)  # still unresolved by rules
+                            out_values[pos].append(None if v == "" else v)
+                            out_ids[pos].append(int(rid))
+                            out_paths[pos].append(PATH_RULE)
                         else:
-                            out_values[pos].append((fname, None))
-                            out_hits[pos].append(
-                                {"field": fname, "rule_id": -1, "path": PATH_NONE}
+                            any_unres[pos] = True
+                            dv = (
+                                dvals.loc[i]
+                                if direct_extractor is not None and i in dvals.index
+                                else None
                             )
-                            out_unres[pos].append(fname)
-
-            # Build output span arrays: field spans in schema order, then
-            # media passthrough in original order, offsets renumbered.
-            out_spans = []
-            for pos in range(n):
-                spans = [
-                    {"kind": f, "text": v, "media_ref": None, "offset": i}
-                    for i, (f, v) in enumerate(out_values[pos])
-                ]
-                base = len(spans)
-                spans.extend(
-                    {
-                        "kind": "media",
-                        "text": None,
-                        "media_ref": m["media_ref"],
-                        "offset": base + j,
-                    }
-                    for j, m in enumerate(media_lists[pos])
-                )
-                out_spans.append(spans)
+                            if direct_extractor is not None and dv is not None:
+                                out_values[pos].append(None if dv == "" else dv)
+                                out_ids[pos].append(-1)
+                                out_paths[pos].append(PATH_DIRECT)
+                            else:
+                                out_values[pos].append(None)
+                                out_ids[pos].append(-1)
+                                out_paths[pos].append(PATH_NONE)
 
             texts_list = list(texts)
-            fields_list = [list(ft) for ft in field_names]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
                     "label": pdf["label"].values,
-                    "spans": out_spans,
-                    "hits": out_hits,
-                    "unresolved": out_unres,
-                    "n_text_spans": pd.array(n_text, dtype="int32"),
-                    "n_media_spans": pd.array(
-                        [len(m) for m in media_lists], dtype="int32"
-                    ),
+                    "fields": [list(ft) for ft in field_tuples],
+                    "values": out_values,
+                    "rule_ids": out_ids,
+                    "paths": out_paths,
+                    # mining payload only for docs with unresolved fields
                     "norm_text": [
-                        texts_list[pos] if out_unres[pos] else None for pos in range(n)
+                        texts_list[pos] if any_unres[pos] else None
+                        for pos in range(n)
                     ],
-                    "all_fields": [
-                        fields_list[pos] if out_unres[pos] else None for pos in range(n)
-                    ],
-                    "part_id": pd.array([part_id] * n, dtype="int32"),
+                    "media_refs": pdf["media_refs"].values,
+                    "n_text_spans": pdf["n_text_spans"].values,
+                    "part_id": pdf["part_id"].values,
                 }
             )
 
-    return extract_batches
+    return run
 
 
 def extract_documents(
@@ -216,12 +148,68 @@ def extract_documents(
     rulebook: RuleBook,
     direct_extractor: Optional[Callable] = None,
 ) -> DataFrame:
-    """Run the fused extraction pass. Narrow (no shuffle): one mapInPandas
-    over the input partitioning, rules via broadcast."""
+    """Run the fused extraction pass. Narrow (no shuffle): JVM prep ->
+    one mapInPandas over flat columns -> JVM struct construction."""
     sc = docs.sparkSession.sparkContext
     bc = sc.broadcast(rulebook)
-    fn = make_extract_fn(bc, direct_extractor=direct_extractor)
-    return docs.mapInPandas(fn, schema=EXTRACTED_DDL)
+    udf = _make_udf(bc, direct_extractor)
+
+    ordered = "array_sort(spans, (l, r) -> l.offset - r.offset)"
+    prep = docs.select(
+        "doc_id",
+        "label",
+        F.expr(
+            f"concat_ws('', transform({ordered},"
+            " s -> CASE WHEN s.kind = 'text' THEN coalesce(s.text, '') ELSE '' END))"
+        ).alias("raw_text"),
+        F.expr("transform(schema_fields, f -> f.name)").alias("fields"),
+        F.expr(
+            f"transform(filter({ordered}, s -> s.kind = 'media'), s -> s.media_ref)"
+        ).alias("media_refs"),
+        F.expr("size(filter(spans, s -> s.kind = 'text'))")
+        .cast("int")
+        .alias("n_text_spans"),
+        F.spark_partition_id().cast("int").alias("part_id"),
+    )
+
+    extracted = prep.mapInPandas(udf, schema=_UDF_DDL)
+    return _build_output(extracted)
+
+
+def _build_output(extracted: DataFrame) -> DataFrame:
+    """JVM-side construction of the public output shape from flat arrays."""
+    field_spans = F.expr(
+        "transform(arrays_zip(fields, values), (x, i) ->"
+        " struct(x.fields as kind, x.values as text,"
+        " cast(null as string) as media_ref, cast(i as int) as offset))"
+    )
+    media_spans = F.expr(
+        "transform(media_refs, (m, j) -> struct('media' as kind,"
+        " cast(null as string) as text, m as media_ref,"
+        " cast(size(fields) + j as int) as offset))"
+    )
+    hits = F.expr(
+        "transform(arrays_zip(fields, rule_ids, paths), x ->"
+        " struct(x.fields as field, x.rule_ids as rule_id, x.paths as path))"
+    )
+    unresolved = F.expr(
+        "transform(filter(arrays_zip(fields, paths), x -> x.paths != 'rule'),"
+        " x -> x.fields)"
+    )
+    return extracted.select(
+        "doc_id",
+        "label",
+        F.concat(field_spans, media_spans).alias("spans"),
+        hits.alias("hits"),
+        unresolved.alias("unresolved"),
+        "n_text_spans",
+        F.size("media_refs").cast("int").alias("n_media_spans"),
+        "norm_text",
+        F.when(F.size(unresolved) > 0, F.col("fields"))
+        .otherwise(F.lit(None))
+        .alias("all_fields"),
+        "part_id",
+    )
 
 
 def salted_repartition(docs: DataFrame, num_partitions: int) -> DataFrame:
@@ -233,6 +221,4 @@ def salted_repartition(docs: DataFrame, num_partitions: int) -> DataFrame:
     repartitioning by doc_id hash to defeat large-PDF skew"). AQE's
     coalescing then trims any residual imbalance.
     """
-    from pyspark.sql import functions as F
-
     return docs.repartition(num_partitions, F.xxhash64("doc_id"))

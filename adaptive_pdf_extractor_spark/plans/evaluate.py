@@ -1,0 +1,68 @@
+"""Evaluation: golden span parity + field accuracy as library operators.
+
+The reference evaluates inline per document (exact string equality incl.
+None — src/metrics.py:255-289) and reports a corpus mean (src/metrics.py:
+173-174). Here both are DataFrame operators: a doc_id equi-join plus
+JVM-side span/field comparison (broadcast-hash or sort-merge as Catalyst
+chooses; AQE handles skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql import functions as F
+
+from ..sources.spark_io import spans_equal_expr
+
+
+def span_parity(output: DataFrame, golden: DataFrame) -> Row:
+    """Span-sequence equality (kind, text, media_ref, order) per doc_id —
+    the north_rule invariant. Returns Row(total, equal, parity)."""
+    joined = output.alias("a").join(golden.alias("b"), "doc_id", "inner")
+    agg = joined.agg(
+        F.count("*").alias("total"),
+        F.sum(spans_equal_expr().cast("int")).alias("equal"),
+    ).first()
+    total, equal = agg["total"], agg["equal"] or 0
+    return Row(total=total, equal=equal, parity=(equal / total if total else 1.0))
+
+
+def field_accuracy(output: DataFrame, docs_with_expected: DataFrame) -> Row:
+    """Exact-equality field accuracy vs ground truth (None == None counts as
+    correct — reference src/metrics.py:270-272). Returns
+    Row(fields, correct, accuracy, perfect_docs, docs)."""
+    ext = (
+        output.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") != "media")
+        .select(
+            "doc_id", F.col("s.kind").alias("field"), F.col("s.text").alias("value")
+        )
+    )
+    exp = docs_with_expected.select(
+        "doc_id", F.explode("expected").alias("e")
+    ).select("doc_id", F.col("e.name").alias("field"), F.col("e.value").alias("expected"))
+    j = ext.join(exp, ["doc_id", "field"])
+    per_field = j.withColumn(
+        "ok",
+        (
+            (F.col("value") == F.col("expected"))
+            | (F.col("value").isNull() & F.col("expected").isNull())
+        ).cast("int"),
+    )
+    per_doc = per_field.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.sum("ok").alias("n_ok")
+    )
+    agg = per_doc.agg(
+        F.sum("n").alias("fields"),
+        F.sum("n_ok").alias("correct"),
+        F.sum((F.col("n") == F.col("n_ok")).cast("int")).alias("perfect_docs"),
+        F.count("*").alias("docs"),
+    ).first()
+    fields, correct = agg["fields"] or 0, agg["correct"] or 0
+    return Row(
+        fields=fields,
+        correct=correct,
+        accuracy=(correct / fields if fields else 1.0),
+        perfect_docs=agg["perfect_docs"] or 0,
+        docs=agg["docs"],
+    )

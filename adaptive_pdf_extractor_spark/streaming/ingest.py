@@ -20,19 +20,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rules import RuleBook
-from ..operators.extract import EXTRACTED_DDL, make_extract_fn
+from ..operators.extract import extract_documents
 from ..sources.corpus import INPUT_DDL
 
 
 def streaming_extract(stream_docs: DataFrame, rulebook: RuleBook) -> DataFrame:
-    """Streaming span-table -> streaming extraction output. mapInPandas is
-    fully supported on streaming DataFrames (stateless per-batch), so this
-    is the same fused operator as the batch path — one code path, two
-    execution modes."""
-    spark = stream_docs.sparkSession
-    bc = spark.sparkContext.broadcast(rulebook)
-    fn = make_extract_fn(bc)
-    return stream_docs.mapInPandas(fn, schema=EXTRACTED_DDL)
+    """Streaming span-table -> streaming extraction output. The fused
+    operator (JVM prep + mapInPandas + JVM struct build) is stateless per
+    batch, so it works identically on streaming DataFrames — one code path,
+    two execution modes."""
+    return extract_documents(stream_docs, rulebook)
 
 
 def with_event_time(extracted: DataFrame, ts_col: str = "ingest_ts") -> DataFrame:

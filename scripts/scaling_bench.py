@@ -41,8 +41,10 @@ corpus = spark_io.synthetic_corpus_df(spark, seed=99, count=n_docs,
                                       partitions=max(cpus * 2, 16)).persist()
 corpus.count()
 
-# warmup (JVM + Python workers + broadcast)
-extract_documents(corpus.limit(2000), book).count()
+# Full-size warmup: spins up every Python worker (one per core, lazily
+# created and module-import-heavy) and touches every cached partition —
+# a limit() warmup leaves most workers cold and inflates trial 1 by ~3x.
+extract_documents(corpus, book).count()
 
 times = []
 for t in range(trials):
@@ -72,7 +74,9 @@ def run(cpus: int, n_docs: int, trials: int) -> dict:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    # large enough that the 32-core run is compute-dominated (>=10s wall);
+    # at ~350us core-time/doc, 800k docs ~= 9s on 32 cores
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 800_000
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     lo = run(8, n_docs, trials)
     hi = run(32, n_docs, trials)
