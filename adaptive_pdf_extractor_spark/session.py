@@ -28,6 +28,16 @@ def get_spark(
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # Local-mode Python workers inherit the environment, not the driver's
+    # sys.path — make sure they can import this package regardless of the
+    # launch directory. (On a real cluster, ship the package with
+    # spark-submit --py-files instead; this is a no-op there.)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pythonpath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pythonpath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pythonpath}" if pythonpath else pkg_root
+        )
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cpus, 8)
     builder = (

@@ -267,6 +267,35 @@ def reference_cache_to_rule_rows(path: str) -> list[dict]:
     return rows
 
 
+def rule_rows_to_reference_cache(rows: list[dict]) -> dict:
+    """Export engine rules in the reference's cache-JSON shape
+    ``{label: {field: [{rule:{rule,validation_regex}, weight}]}}``
+    (reference src/cache.py:369-378), priority-ordered (weight desc,
+    rule_seq) the way the reference persists head->tail. Round-trips with
+    :func:`reference_cache_to_rule_rows`, so rules learned here can seed
+    the reference and vice versa."""
+    out: dict = {}
+    ordered = sorted(
+        rows, key=lambda r: (r["label"], r["field"], -int(r["weight"]), int(r["rule_seq"]))
+    )
+    for r in ordered:
+        out.setdefault(r["label"], {}).setdefault(r["field"], []).append(
+            {
+                "rule": {
+                    "rule": r["rule"],
+                    "validation_regex": r["validation_regex"],
+                },
+                "weight": int(r["weight"]),
+            }
+        )
+    return out
+
+
+def save_reference_cache(rows: list[dict], path: str) -> None:
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(rule_rows_to_reference_cache(rows), f, ensure_ascii=False, indent=2)
+
+
 # ---------------------------------------------------------------------------
 # Synthetic corpus generator (deterministic, Faker-free)
 # ---------------------------------------------------------------------------
