@@ -155,6 +155,24 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user value (explicit frame spec: rows between
+    unbounded preceding and current row, deterministic tiebreak)."""
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -269,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_window": q_top_orders_window,
         "events_tumbling": q_events_tumbling,
+        "events_running_sum": q_events_running_sum,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "lang_id_dist": q_lang_id_dist,
@@ -426,6 +445,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders
             )
             WHERE rk <= 3
+        """,
+        "events_running_sum": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS running_value
+            FROM events
         """,
         "events_tumbling": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -267,6 +267,38 @@ def reference_cache_to_rule_rows(path: str) -> list[dict]:
     return rows
 
 
+def output_rows_to_reference_results(
+    output_rows: list[dict], input_rows: list[dict]
+) -> list[dict]:
+    """Export engine output in the reference's results-JSON shape
+    ``[{idx, label, expected, extracted}]`` (reference src/main.py:338-345,
+    1-based idx) so reference-side tooling can consume engine output
+    directly. Field order follows the schema (the engine contract)."""
+    by_id = {r["doc_id"]: r for r in input_rows}
+    results = []
+    for i, out in enumerate(
+        sorted(output_rows, key=lambda r: r["doc_id"]), start=1
+    ):
+        src = by_id[out["doc_id"]]
+        extracted = {
+            s["kind"]: s["text"]
+            for s in sorted(out["spans"], key=lambda s: s["offset"])
+            if s["kind"] != "media"
+        }
+        expected = {
+            e["name"]: e["value"] for e in (src.get("expected") or [])
+        }
+        results.append(
+            {
+                "idx": i,
+                "label": src.get("label", ""),
+                "expected": expected,
+                "extracted": extracted,
+            }
+        )
+    return results
+
+
 def rule_rows_to_reference_cache(rows: list[dict]) -> dict:
     """Export engine rules in the reference's cache-JSON shape
     ``{label: {field: [{rule:{rule,validation_regex}, weight}]}}``
