@@ -64,6 +64,62 @@ def windowed_extraction_metrics(
     )
 
 
+def stateful_label_hit_rate(extracted: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: cumulative per-label rule hit
+    rate across micro-batches via ``applyInPandasWithState``.
+
+    State per label = (docs, rule_hits, total_fields), carried across
+    batches by the state store (checkpointable, exactly-once under a real
+    sink). This is the streaming twin of the batch round metrics — and the
+    engine's example of the ``applyInPandasWithState`` escape hatch for
+    semantics neither windows nor joins express (a monotonically growing
+    per-key counter over an unbounded stream)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    flat = extracted.select(
+        "label",
+        F.size(F.filter("hits", lambda h: h["path"] == F.lit("rule"))).alias(
+            "rule_hits"
+        ),
+        F.size("hits").alias("n_fields"),
+    )
+
+    output_schema = (
+        "label string, docs bigint, rule_hits bigint, total_fields bigint, "
+        "hit_rate double"
+    )
+    state_schema = "docs bigint, rule_hits bigint, total_fields bigint"
+
+    def update(key, pdfs, state: GroupState):
+        docs, hits, fields = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            docs += len(pdf)
+            hits += int(pdf["rule_hits"].sum())
+            fields += int(pdf["n_fields"].sum())
+        state.update((docs, hits, fields))
+        yield pd.DataFrame(
+            [
+                {
+                    "label": key[0],
+                    "docs": docs,
+                    "rule_hits": hits,
+                    "total_fields": fields,
+                    "hit_rate": round(hits / fields, 6) if fields else 0.0,
+                }
+            ]
+        )
+
+    return flat.groupBy("label").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def file_stream_source(
     spark: SparkSession, path: str, max_files_per_trigger: Optional[int] = None
 ) -> DataFrame:

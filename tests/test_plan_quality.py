@@ -1,0 +1,80 @@
+"""Physical-plan regression tests: the optimizations we rely on at scale
+must stay in the plan (predicate pushdown, column pruning, broadcast joins,
+partial aggregation, partial top-k, shuffle-free extraction)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df, spark) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_tpch_q1_pushdown_and_pruning(spark):
+    fmt = _formatted(entry_mod.q_tpch_q1(spark, SF), spark)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in fmt
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", fmt).group(1)
+    cols = {c.split(":")[0] for c in schema.split(",")}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }, f"scan reads more than the projection needs: {cols}"
+
+
+def test_revenue_join_broadcasts_dimension(spark):
+    plan = _executed(entry_mod.q_revenue_by_nation(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    plan = _executed(entry_mod.q_exact_dedup(spark, SF))
+    # partial (map-side) + final hash aggregate
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_is_partial(spark):
+    plan = _executed(entry_mod.q_embedding_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan, "limit must push into partitions"
+
+
+def test_doc_scan_prunes_columns(spark):
+    fmt = _formatted(entry_mod.q_doc_token_stats(spark, SF), spark)
+    schema = re.search(r"ReadSchema: struct<([^>]*)>", fmt).group(1)
+    cols = {c.split(":")[0] for c in schema.split(",")}
+    assert cols == {"doc_id", "text"}
+
+
+def test_extraction_is_shuffle_free(spark):
+    """The hot path: no Exchange beyond the explicit salted repartition."""
+    from adaptive_pdf_extractor_spark.functions.rules import RuleBook
+    from adaptive_pdf_extractor_spark.operators.extract import (
+        extract_documents,
+        salted_repartition,
+    )
+    from adaptive_pdf_extractor_spark.sources import corpus as corpus_mod
+    from adaptive_pdf_extractor_spark.sources import spark_io
+
+    docs = spark_io.synthetic_corpus_df(spark, seed=3, count=50, partitions=2)
+    book = RuleBook.from_rows(
+        corpus_mod.reference_cache_to_rule_rows(
+            "/root/reference/data/fake/caches/fake_dataset_1000samples_seed_1_cache.json"
+        )
+    )
+    plan_no_repart = _executed(extract_documents(docs, book))
+    assert "Exchange" not in plan_no_repart, plan_no_repart
+    plan_repart = _executed(extract_documents(salted_repartition(docs, 4), book))
+    assert plan_repart.count("Exchange hashpartitioning") == 1

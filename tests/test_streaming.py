@@ -50,6 +50,45 @@ def test_streaming_extract_equals_batch(spark, rulebook, tmp_path):
     assert got == batch
 
 
+def test_stateful_hit_rate_accumulates_across_batches(spark, rulebook, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches — with
+    maxFilesPerTrigger=1 each file is its own batch, and the final update
+    must equal the batch-computed totals."""
+    docs = spark_io.synthetic_corpus_df(spark, seed=29, count=200, partitions=4)
+    src = str(tmp_path / "landing3")
+    docs.write.parquet(src)  # 4 files -> 4 micro-batches
+
+    stream = ingest.file_stream_source(spark, src, max_files_per_trigger=1)
+    rates = ingest.stateful_label_hit_rate(
+        ingest.streaming_extract(stream, rulebook)
+    )
+    q = (
+        rates.writeStream.format("memory")
+        .queryName("hit_rate")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT * FROM hit_rate ORDER BY docs"
+    ).collect()
+    assert len(rows) >= 2, "state must emit one update per micro-batch"
+    # cumulative counters are monotone
+    docs_seq = [r["docs"] for r in rows]
+    assert docs_seq == sorted(docs_seq)
+    final = rows[-1]
+    assert final["docs"] == 200 and final["total_fields"] == 200 * 8
+
+    # final state equals the batch computation
+    from pyspark.sql import functions as F
+
+    batch = extract_documents(docs, rulebook).select(
+        F.sum(F.size(F.filter("hits", lambda h: h["path"] == F.lit("rule")))).alias("hits")
+    ).first()
+    assert final["rule_hits"] == batch["hits"]
+
+
 def test_windowed_metrics_stream(spark, rulebook, tmp_path):
     docs = spark_io.synthetic_corpus_df(spark, seed=23, count=120, partitions=2)
     src = str(tmp_path / "landing2")
