@@ -193,7 +193,11 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    # small single-file input arrives as 1 partition; spread before the
+    # 25-marker scoring expressions (one idle-core fix, see dedup._spread)
+    d = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return (
         d.select(T.lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang_pred")

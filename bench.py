@@ -42,6 +42,10 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
+        # warmup run first: the first execution of a plan pays JIT/classload
+        # (measured 8-30x on sub-second queries); steady-state is the number
+        # that scales, so time the second run.
+        fn()
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
