@@ -121,6 +121,107 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+):
+    """k-means centroids trained on a deterministic hash-sample of the
+    corpus (driver-side numpy Lloyd iterations — centroids are KB-scale;
+    the corpus-sized work stays distributed in :func:`ivf_assign`).
+
+    Returns a list[list[float]] of L2-normalized centroids."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string")))
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+    rng_idx = [
+        int(_splitmix(seed * 7919 + i) * 2**31) % len(x) for i in range(n_centroids)
+    ]
+    cent = x[sorted(set(rng_idx))[:n_centroids]]
+    while len(cent) < n_centroids:  # dedup shortfall
+        cent = np.vstack([cent, x[(len(cent) * 31) % len(x)]])
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / (np.linalg.norm(v) + 1e-12)
+    return [[float(v) for v in c] for c in cent]
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids) -> DataFrame:
+    """Distributed bucket assignment: one Arrow-batched numpy matmul per
+    batch (rows x centroids). Adds an ``_ivf`` bucket column."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    cent = np.array(centroids, dtype=np.float64).T  # dim x k
+
+    def assign(vecs):
+        out = []
+        for batch_start in range(0, len(vecs), 4096):
+            chunk = vecs.iloc[batch_start : batch_start + 4096]
+            m = np.array([list(v) for v in chunk], dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
+            out.extend((m @ cent).argmax(axis=1).tolist())
+        return pd.Series(out, dtype="int32")
+
+    assign.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    udf = pandas_udf("int")(assign)
+    return df.withColumn("_ivf", udf(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: list[float],
+    k: int = 10,
+    centroids=None,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the ``nprobe`` buckets
+    nearest the query. The 100 TB pattern: train once, assign once
+    (persist `_ivf` as a partition column), probe per query — candidate
+    set shrinks ~n_centroids/nprobe-fold."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, vec_col, n_centroids=n_centroids, seed=seed
+        )
+    cent = np.array(centroids, dtype=np.float64)
+    q = np.array(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) + 1e-12)
+    order = (cent @ q).argsort()[::-1][:nprobe]
+    assigned = ivf_assign(df, id_col, vec_col, centroids)
+    probed = assigned.filter(F.col("_ivf").isin([int(c) for c in order]))
+    return brute_force_topk(probed, id_col, vec_col, query_vec, k)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -102,6 +102,34 @@ def test_embedding_neardup_pairs(vectors):
     assert {(p["id_a"], p["id_b"]) for p in pairs} == {(3, 900)}
 
 
+def test_ivf_topk_recall(vectors):
+    """IVF with nprobe=4/16 centroids: the identical vector is always found
+    (its bucket is the query's nearest centroid) and recall vs brute force
+    is high on a 200-vector corpus."""
+    q = [r for r in vectors.collect() if r["vec_id"] == 3][0]["embedding"]
+    cents = similarity.train_ivf_centroids(vectors, "embedding", n_centroids=16)
+    assert len(cents) == 16 and len(cents[0]) == 16
+    top = similarity.ivf_topk(
+        vectors, "vec_id", "embedding", list(q), k=5, centroids=cents, nprobe=4
+    ).collect()
+    ids = [r["id"] for r in top]
+    assert ids[0] == 3  # exact match: same bucket as the query by definition
+    assert 900 in ids  # the planted near-dup lands in the same region
+    brute_ids = [
+        r["id"]
+        for r in similarity.brute_force_topk(
+            vectors, "vec_id", "embedding", list(q), k=5
+        ).collect()
+    ]
+    recall = len(set(ids) & set(brute_ids)) / 5
+    assert recall >= 0.6
+    # determinism: same call twice -> same result
+    top2 = similarity.ivf_topk(
+        vectors, "vec_id", "embedding", list(q), k=5, centroids=cents, nprobe=4
+    ).collect()
+    assert [r["id"] for r in top2] == ids
+
+
 def test_lsh_topk_contains_query_neighbors(vectors):
     """LSH-bucketed search finds the identical vector (same bucket by
     construction) — approximate recall for others is evaluated vs brute."""
