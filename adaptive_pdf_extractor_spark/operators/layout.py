@@ -186,6 +186,69 @@ def reading_order_text(
     return "\n".join(b.text for b in ordered)
 
 
+def strip_boilerplate_spans(
+    docs: DataFrame,
+    min_doc_frac: float = 0.5,
+    min_docs: int = 5,
+    max_span_len: int = 500,
+) -> DataFrame:
+    """Span-level boilerplate strip over an input span table: text spans
+    whose trimmed content repeats across >= ``min_doc_frac`` of a label's
+    documents (site template blocks, nav, footers) are removed; media spans
+    and all other columns pass through; offsets renumber.
+
+    Plan: explode -> fingerprint -> (label, fp) doc-frequency agg [one
+    shuffle on a 64-bit key] -> broadcast anti-join of the tiny frequent
+    set -> re-aggregate span arrays [one shuffle on doc_id]. Reduces to
+    identity when no span repeats (the SURVEY §2.11 invariant — default-off
+    in the pipeline)."""
+    label_totals = docs.groupBy("label").agg(F.count("*").alias("_n"))
+    ex = docs.select("doc_id", "label", F.explode("spans").alias("s"))
+    frequent = (
+        ex.filter(F.col("s.kind") == "text")
+        .filter(F.length("s.text") <= max_span_len)
+        .select("label", "doc_id", F.xxhash64(F.trim("s.text")).alias("_fp"))
+        .distinct()
+        .groupBy("label", "_fp")
+        .agg(F.count("*").alias("_df"))
+        .join(F.broadcast(label_totals), "label")
+        .filter(
+            (F.col("_df") >= min_docs)
+            & (F.col("_df") / F.col("_n") >= min_doc_frac)
+        )
+        .select("label", "_fp")
+    )
+    kept = ex.withColumn(
+        "_fp",
+        F.when(
+            F.col("s.kind") == "text", F.xxhash64(F.trim("s.text"))
+        ).otherwise(F.lit(None)),  # null keys never match the anti-join -> media kept
+    ).join(F.broadcast(frequent), ["label", "_fp"], "left_anti")
+    new_spans = kept.groupBy("doc_id").agg(
+        F.expr(
+            "transform("
+            " array_sort(collect_list(s), (l, r) -> l.offset - r.offset),"
+            " (x, i) -> struct(x.kind as kind, x.text as text,"
+            " x.media_ref as media_ref, cast(i as int) as offset))"
+        ).alias("_new_spans")
+    )
+    return (
+        docs.drop("spans")
+        .join(new_spans, "doc_id", "left")
+        .withColumn(
+            "spans",
+            F.coalesce(
+                F.col("_new_spans"),
+                F.expr(
+                    "cast(array() as array<struct<kind:string,text:string,"
+                    "media_ref:string,offset:int>>)"
+                ),
+            ),
+        )
+        .drop("_new_spans")
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus-frequency boilerplate strip (distributed)
 # ---------------------------------------------------------------------------

@@ -54,6 +54,13 @@ class PipelineConfig:
     miner_sample_mod: int = 1      # 1 = all; K = ~1/K of unresolved docs
     num_partitions: Optional[int] = None
     direct_fallback: bool = True
+    # Main-content pre-stage: strip corpus-frequency boilerplate lines from
+    # text spans before extraction (operators.layout.boilerplate_strip).
+    # Off by default: the reference parity corpora are boilerplate-free and
+    # the stage must reduce to identity there (SURVEY §2.11).
+    strip_boilerplate: bool = False
+    boilerplate_min_doc_frac: float = 0.5
+    boilerplate_min_docs: int = 5
     extra: dict = dc_field(default_factory=dict)
 
 
@@ -200,6 +207,14 @@ class ExtractionPipeline:
     ) -> DataFrame:
         """Run (or resume) the full pipeline; returns the output span table."""
         cfg = self.config
+        if cfg.strip_boilerplate:
+            from ..operators.layout import strip_boilerplate_spans
+
+            docs = strip_boilerplate_spans(
+                docs,
+                min_doc_frac=cfg.boilerplate_min_doc_frac,
+                min_docs=cfg.boilerplate_min_docs,
+            )
         if cfg.num_partitions:
             docs = salted_repartition(docs, cfg.num_partitions)
         docs = docs.persist()

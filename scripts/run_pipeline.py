@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--miner-sample-mod", type=int, default=1)
     ap.add_argument("--no-direct-fallback", action="store_true")
+    ap.add_argument("--strip-boilerplate", action="store_true",
+                    help="remove corpus-frequency boilerplate text spans "
+                         "before extraction (main-content pre-stage)")
     ap.add_argument("--cpus", type=int, default=None,
                     help="local mode only; ignored under a cluster master")
     args = ap.parse_args()
@@ -72,6 +75,7 @@ def main() -> None:
             num_partitions=args.partitions,
             miner_sample_mod=args.miner_sample_mod,
             direct_fallback=not args.no_direct_fallback,
+            strip_boilerplate=args.strip_boilerplate,
         ),
     )
     out = pipe.run(docs, initial_rules_rows=initial_rules, write_output=True)

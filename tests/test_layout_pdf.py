@@ -157,6 +157,76 @@ def test_read_pdf_corpus_distributed(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+def test_strip_boilerplate_spans(spark):
+    """Span-level strip inside the pipeline's input model: repeated text
+    spans removed per label, media + unique spans kept, offsets renumbered,
+    identity on clean corpora."""
+    from adaptive_pdf_extractor_spark.operators.layout import (
+        strip_boilerplate_spans,
+    )
+    from adaptive_pdf_extractor_spark.sources import corpus as corpus_mod
+    from adaptive_pdf_extractor_spark.sources import spark_io
+
+    rows = corpus_mod.synth_rows(seed=77, start=0, count=30)
+    # inject a boilerplate text span at the front of every doc + keep media
+    for r in rows:
+        spans = [{"kind": "text", "text": "SITE NAVIGATION BAR", "media_ref": None, "offset": 0}]
+        for s in r["spans"]:
+            s = dict(s)
+            s["offset"] = len(spans)
+            spans.append(s)
+        r["spans"] = spans
+    docs = spark_io.input_df_from_rows(spark, rows)
+    out = strip_boilerplate_spans(docs, min_doc_frac=0.5, min_docs=5)
+    got = {r["doc_id"]: r for r in out.collect()}
+    for r in rows:
+        spans = got[r["doc_id"]]["spans"]
+        assert all(s["text"] != "SITE NAVIGATION BAR" for s in spans)
+        assert [s["offset"] for s in spans] == list(range(len(spans)))
+        # original content (minus the injected span) intact, media preserved
+        assert corpus_mod.assemble_text([dict(s.asDict()) for s in spans]) == \
+            corpus_mod.assemble_text(r["spans"][1:])
+        assert len([s for s in spans if s["kind"] == "media"]) == len(
+            [s for s in r["spans"] if s["kind"] == "media"]
+        )
+    # identity on a clean corpus
+    clean_rows = corpus_mod.synth_rows(seed=78, start=0, count=20)
+    clean = spark_io.input_df_from_rows(spark, clean_rows)
+    out2 = {r["doc_id"]: r for r in strip_boilerplate_spans(clean).collect()}
+    for r in clean_rows:
+        assert [dict(s.asDict()) for s in out2[r["doc_id"]]["spans"]] == r["spans"]
+
+
+def test_pipeline_with_boilerplate_strip(spark, tmp_path):
+    """End-to-end: boilerplate pre-stage on, extraction accuracy unaffected
+    (the injected spans are noise the rules never matched anyway)."""
+    from adaptive_pdf_extractor_spark.plans.pipeline import (
+        ExtractionPipeline,
+        PipelineConfig,
+    )
+    from adaptive_pdf_extractor_spark.sources import corpus as corpus_mod
+    from adaptive_pdf_extractor_spark.sources import spark_io
+
+    rows = corpus_mod.synth_rows(seed=79, start=0, count=120)
+    for r in rows:
+        r["spans"] = (
+            [{"kind": "text", "text": "COPYRIGHT 2026 ACME\n", "media_ref": None, "offset": 0}]
+            + [dict(s, offset=s["offset"] + 1) for s in r["spans"]]
+        )
+    docs = spark_io.input_df_from_rows(spark, rows)
+    pipe = ExtractionPipeline(
+        spark,
+        str(tmp_path / "bp"),
+        PipelineConfig(max_rounds=2, num_partitions=4, strip_boilerplate=True),
+    )
+    out = pipe.run(docs, initial_rules_rows=[], write_output=False)
+    assert out.count() == 120
+    from adaptive_pdf_extractor_spark.plans.evaluate import field_accuracy
+
+    acc = field_accuracy(out, docs)
+    assert acc.accuracy > 0.95
+
+
 def test_boilerplate_strip(spark):
     rows = []
     for i in range(20):
