@@ -42,13 +42,16 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        # warmup run first: the first execution of a plan pays JIT/classload
-        # (measured 8-30x on sub-second queries); steady-state is the number
-        # that scales, so time the second run.
+        # warmup run first (first executions pay 8-30x JIT/classload), then
+        # best-of-2: ambient machine noise swings single unpinned runs ~2x
+        # (the pinned measurements in BENCH.md are the stable reference).
         fn()
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # warmup (JVM + Python workers)
     spark.range(1000).select(F.sum("id")).collect()
