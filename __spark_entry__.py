@@ -183,6 +183,24 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", T.bpe_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+def q_winnowing_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sketch sizes (rows-only: xxhash64-based
+    fingerprints are not reproducible in ANSI SQL; the winnowing guarantee
+    is property-tested in tests/)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.size(T.winnowing_fingerprints(F.col("text"))).alias("sketch_size"),
+    )
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -304,6 +322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_sum": q_events_running_sum,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
+        "bpe_token_count": q_bpe_token_count,
+        "winnowing_sketch": q_winnowing_sketch,
         "lang_id_dist": q_lang_id_dist,
         "exact_dedup": q_exact_dedup,
         "minhash_neardup": q_minhash_neardup,
@@ -483,6 +503,12 @@ def oracle_sql() -> dict[str, str]:
                    {_sql_token_count()} AS n_tokens,
                    {_sql_mean_word_len()} AS mean_word_len,
                    {_sql_punct_ratio()} AS punct_ratio
+            FROM documents
+        """,
+        "bpe_token_count": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{T.BPE_TOKEN_PATTERN}'))
+                        AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "doc_quality": f"""

@@ -129,6 +129,47 @@ def doc_fingerprint(col: Column) -> Column:
     return F.xxhash64(normalized)
 
 
+# BPE-style pretokenizer classes (simplified GPT-2 shape, constrained to
+# constructs with identical semantics in Java regex and RE2 so the DuckDB
+# oracle reproduces it exactly): letter runs, digit runs, non-space symbol
+# runs — the unit a byte-pair encoder would merge within.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Approximate LLM-token count: number of BPE-pretokenizer units.
+    Whitespace tokenization undercounts code/punctuation-heavy text; this
+    is the standard cheap proxy for corpus token budgeting."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_PATTERN), F.lit(0))).cast(
+        "long"
+    )
+
+
+def winnowing_fingerprints(
+    col: Column, k: int = 7, window: int = 4
+) -> Column:
+    """Winnowing document sketch (Schleimer et al., MOSS): hash every
+    k-gram, then keep the minimum hash of each sliding window of ``window``
+    consecutive k-gram hashes. Guarantees any shared substring of length
+    >= k + window - 1 contributes a shared fingerprint — the classic
+    rolling-hash fingerprinting scheme for near-dup/plagiarism detection.
+
+    Entirely Column algebra: k-gram hashes via xxhash64 over substr, window
+    minima via transform over an index sequence; distinct-sorted output."""
+    lowered = F.lower(col)
+    n_grams = F.greatest(F.length(lowered) - (k - 1), F.lit(1))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(lowered.substr(i, F.lit(k))),
+    )
+    n_windows = F.greatest(F.size(gram_hashes) - (window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda w: F.array_min(F.slice(gram_hashes, w, window)),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
 def doc_fingerprint_md5(col: Column) -> Column:
     """Portable variant of :func:`doc_fingerprint` (md5 hex — identical in
     every engine, used when a cross-engine oracle must reproduce it)."""

@@ -6,11 +6,17 @@ Run via spark-submit (the north_star's deployment shape)::
     # package the engine
     cd /root/repo && python3 -m zipfile -c engine.zip adaptive_pdf_extractor_spark
 
-    spark-submit --py-files engine.zip scripts/run_pipeline.py \
+    spark-submit --driver-memory 16g --py-files engine.zip \
+        scripts/run_pipeline.py \
         --input  /data/corpus_spans/          # span-table parquet
         --run-dir /data/runs/run-001          # manifests + snapshots + output
         --rules  /data/rules/bootstrap.json   # optional: reference-format cache
         --max-rounds 5 --partitions 4096
+
+NOTE: pass --driver-memory on the spark-submit command line — the session
+builder's spark.driver.memory cannot apply once spark-submit has already
+launched the JVM (the 1g default crashes Python workers at ~10^6 docs in
+local mode; verified).
 
 Re-running with the same --run-dir resumes from the last committed round
 (exact resume); a completed run skips straight to the final pass.

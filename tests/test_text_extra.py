@@ -1,0 +1,55 @@
+"""BPE-ish token counting and winnowing fingerprints (the rolling-hash
+document sketch): the winnowing guarantee and near-dup behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from adaptive_pdf_extractor_spark.functions import text as T
+
+
+def _sketch(spark, texts: list[str], k=7, window=4) -> list[set]:
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, t string")
+    rows = df.select(
+        "id", T.winnowing_fingerprints(F.col("t"), k=k, window=window).alias("fp")
+    ).collect()
+    return [set(r["fp"]) for r in sorted(rows, key=lambda r: r["id"])]
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [("hello world",), ("f(x)=3.14; y+=2",), ("",), ("   ",)], "t string"
+    )
+    got = [r[0] for r in df.select(T.bpe_token_count(F.col("t"))).collect()]
+    # "f(x)=3.14; y+=2" -> f ( x )= 3 . 14 ; y += 2  => 11 units
+    assert got == [2, 11, 0, 0]
+
+
+def test_winnowing_guarantee(spark):
+    """Any shared substring of length >= k + window - 1 must contribute at
+    least one shared fingerprint (the winnowing theorem)."""
+    k, w = 7, 4
+    shared = "the quick brown fox jumps over the lazy dog"  # length 43 >= 10
+    a = "PREFIX AAA " + shared + " SUFFIX BBB"
+    b = "zzz totally different opening " + shared + " and closing qqq"
+    c = "nothing in common with either of those two documents at all!"
+    sa, sb, sc = _sketch(spark, [a, b, c], k=k, window=w)
+    assert sa & sb, "documents sharing a long substring must share fingerprints"
+    assert not (sa & sc) or len(sa & sc) < len(sa & sb)
+
+
+def test_winnowing_neardup_ranking(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    near = base[15:]          # same content, shifted
+    far = "one two three four five six seven eight nine ten " * 5
+    s_base, s_near, s_far = _sketch(spark, [base, near, far])
+    overlap_near = len(s_base & s_near) / len(s_base | s_near)
+    overlap_far = len(s_base & s_far) / len(s_base | s_far)
+    assert overlap_near > 0.6 > overlap_far
+
+
+def test_winnowing_short_and_empty(spark):
+    s_tiny, s_empty = _sketch(spark, ["abc", ""])
+    assert len(s_tiny) == 1  # single k-gram window on short text
+    assert len(s_empty) == 1  # hash of the empty substring — defined, stable
