@@ -210,11 +210,25 @@ class ExtractionPipeline:
         if cfg.strip_boilerplate:
             from ..operators.layout import strip_boilerplate_spans
 
+            spans_before = docs.select(
+                F.sum(F.size("spans")).alias("n")
+            ).first()["n"] or 0
             docs = strip_boilerplate_spans(
                 docs,
                 min_doc_frac=cfg.boilerplate_min_doc_frac,
                 min_docs=cfg.boilerplate_min_docs,
             )
+            spans_after = docs.select(
+                F.sum(F.size("spans")).alias("n")
+            ).first()["n"] or 0
+            # north_star metric: boilerplate strip rate
+            self.manifest.state["boilerplate"] = {
+                "spans_before": int(spans_before),
+                "spans_after": int(spans_after),
+                "strip_rate": round(
+                    1 - spans_after / spans_before, 6
+                ) if spans_before else 0.0,
+            }
         if cfg.num_partitions:
             docs = salted_repartition(docs, cfg.num_partitions)
         docs = docs.persist()

@@ -225,6 +225,10 @@ def test_pipeline_with_boilerplate_strip(spark, tmp_path):
 
     acc = field_accuracy(out, docs)
     assert acc.accuracy > 0.95
+    # strip-rate metric recorded (north_star metric list)
+    bp = pipe.manifest.state["boilerplate"]
+    assert bp["spans_before"] > bp["spans_after"]
+    assert 0 < bp["strip_rate"] < 0.5
 
 
 def test_boilerplate_strip(spark):
