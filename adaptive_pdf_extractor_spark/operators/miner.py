@@ -21,11 +21,16 @@ the reference's learned rules — e.g. the null-field lookahead template the
 reference prompts for at src/llm.py:616-749 and the anchored value rules in
 its shipped caches):
 
-1. The field's **anchor** is its rendered label (``field.replace('_',' ')
-   .title()`` — how document templates label values; reference generator
-   scripts/generate_fake_data.py:242). Other fields' anchors form the
-   right **boundary** lookahead (value runs until the next field label or
-   end of document).
+1. The field's **anchor** is the rendered label under which the template
+   prints its value. The default guess is ``field.replace('_',' ').title()``
+   (how the reference's fake-data generator labels values,
+   scripts/generate_fake_data.py:242), but the reference's LLM extracts
+   under *arbitrary* rendered labels (schema field ``nome`` printed as
+   "Nome Completo:" or "Name" — src/pipeline.py:72-143, prompts
+   src/llm.py:26-59). :func:`discover_label_anchors` recovers that
+   capability deterministically by mining anchors from the corpus itself
+   (see its docstring). Other fields' anchors form the right **boundary**
+   lookahead (value runs until the next field label or end of document).
 2. A generic bounded capture extracts candidate values from the group's
    example texts (the deterministic analog of LLM value extraction).
 3. Null examples (anchor immediately followed by another anchor) yield a
@@ -39,11 +44,15 @@ its shipped caches):
 from __future__ import annotations
 
 import re
+import unicodedata
+from collections import Counter
 from dataclasses import dataclass
+from difflib import SequenceMatcher
 from typing import Iterable, Optional
 
 import pandas as pd
 
+from ..functions.normalize import normalize_text
 from ..functions.rules import compile_cached, execute_rule, validate_value
 
 MINED_DDL = (
@@ -51,30 +60,43 @@ MINED_DDL = (
     "kind string, support bigint, pass_rate double"
 )
 
+ANCHOR_DDL = "label string, field string, anchor string, source string, score double"
+
 
 def field_anchor(field: str) -> str:
-    """Rendered label under which a field appears in document text."""
+    """Default rendered label guess: the title-cased field name."""
     return field.replace("_", " ").title()
 
 
-def _boundary_lookahead(field: str, all_fields: Iterable[str]) -> str:
+def _anchor_for(field: str, anchors: Optional[dict]) -> str:
+    """Discovered anchor for ``field`` in the current label, else default."""
+    a = (anchors or {}).get(field)
+    return a if a else field_anchor(field)
+
+
+def _boundary_lookahead(
+    field: str, all_fields: Iterable[str], anchors: Optional[dict] = None
+) -> str:
     """Lookahead alternation over the other fields' anchors (+ end)."""
-    others = [field_anchor(f) for f in all_fields if f != field]
+    others = [_anchor_for(f, anchors) for f in all_fields if f != field]
     alts = sorted({re.escape(a) for a in others}, key=len, reverse=True)
     inner = "|".join(alts + ["$"])
     return f"(?=[\\s]*(?:{inner}))"
 
 
 def direct_extract_value(
-    text: Optional[str], field: str, all_fields: list[str]
+    text: Optional[str],
+    field: str,
+    all_fields: list[str],
+    anchors: Optional[dict] = None,
 ) -> Optional[str]:
     """Deterministic slow-path extraction of one field from normalized text
     (the LLM-extractor analog). Returns value, "" for present-but-empty
     (null field), or None when the anchor is absent / text is null."""
     if not text:
         return None
-    anchor = re.escape(field_anchor(field))
-    boundary = _boundary_lookahead(field, all_fields)
+    anchor = re.escape(_anchor_for(field, anchors))
+    boundary = _boundary_lookahead(field, all_fields, anchors)
     pat = compile_cached(
         rf"(?i){anchor}[\s:\-]*([\s\S]*?){boundary}", re.DOTALL
     )
@@ -87,15 +109,221 @@ def direct_extract_value(
 
 
 def direct_extract_series(
-    label: str, all_fields: list[str], field: str, texts: pd.Series
+    label: str,
+    all_fields: list[str],
+    field: str,
+    texts: pd.Series,
+    anchors: Optional[dict] = None,
 ) -> pd.Series:
     """Vectorized form of :func:`direct_extract_value` (the
-    ``direct_extractor`` hook of operators.extract)."""
-    anchor = re.escape(field_anchor(field))
-    boundary = _boundary_lookahead(field, all_fields)
+    ``direct_extractor`` hook of operators.extract). ``anchors`` maps
+    field -> discovered anchor for this label."""
+    anchor = re.escape(_anchor_for(field, anchors))
+    boundary = _boundary_lookahead(field, all_fields, anchors)
     pat = compile_cached(rf"(?i){anchor}[\s:\-]*([\s\S]*?){boundary}", re.DOTALL)
     out = texts.str.extract(pat, expand=True).iloc[:, 0].str.strip()
     return out.where(out.notna(), None)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-driven anchor discovery (the LLM's "read the label off the page"
+# capability, deterministically)
+# ---------------------------------------------------------------------------
+
+_SEP_CHARS = ":-"
+
+
+def _fold(s: str) -> str:
+    """Accent-fold + lowercase for lexical matching (nome == Nomé)."""
+    return "".join(
+        c for c in unicodedata.normalize("NFD", s.lower())
+        if not unicodedata.combining(c)
+    )
+
+
+def _clean_token(tok: str) -> str:
+    return tok.strip(_SEP_CHARS)
+
+
+def _context_tokens(ctx: str) -> list[str]:
+    return [t for t in (_clean_token(x) for x in ctx.split()) if t]
+
+
+def _token_sim(field_tokens: list[str], gram_tokens: list[str]) -> float:
+    """Mean over field tokens of the best fuzzy match to any gram token.
+    SequenceMatcher handles cross-language near-misses (nome ~ name: 0.75)."""
+    if not field_tokens or not gram_tokens:
+        return 0.0
+    total = 0.0
+    for ft in field_tokens:
+        total += max(SequenceMatcher(None, ft, gt).ratio() for gt in gram_tokens)
+    return total / len(field_tokens)
+
+
+def _gram_conflicts(gram: str, taken: set[str]) -> bool:
+    g = f" {gram} "
+    for t in taken:
+        tt = f" {t} "
+        if g in tt or tt in g:
+            return True
+    return False
+
+
+def discover_label_anchors(
+    fields: list[str],
+    descriptions: dict[str, str],
+    texts: list[str],
+    expected_maps: list[Optional[dict]],
+    min_const_frac: float = 0.6,
+    min_sim: float = 0.6,
+    max_anchor_tokens: int = 4,
+) -> list[dict]:
+    """Mine per-field anchors (rendered labels) from a sample of one label's
+    normalized texts. Deterministic recast of what the reference's LLM does
+    by reading the page (src/pipeline.py:72-143): the schema names a field
+    ``nome`` but the document prints "Nome Completo:" or "Name" — the rule
+    must anchor on what is printed, not on the schema name.
+
+    Two evidence sources, strongest first:
+
+    * **expected** — where ground-truth values are available (reference
+      datasets carry ``expected_answer`` per doc, src/data.py:103-121):
+      count the token n-grams immediately preceding each value occurrence;
+      the rendered label is constant across documents while surrounding
+      values vary, so it dominates the counts. The longest n-gram within
+      5% of the best count wins (captures multi-token labels like
+      "Nome Completo" without over-extending into variable context).
+    * **similarity** — without ground truth: template constants are token
+      n-grams with high document frequency (labels repeat; values vary).
+      Each remaining field greedily claims the constant n-gram most
+      lexically similar (accent-folded fuzzy token match) to its name or
+      schema description.
+
+    Fields with neither kind of evidence fall back to the title-cased
+    default. Returns one row per field:
+    ``{"field", "anchor", "source", "score"}`` with source in
+    {"expected", "similarity", "default"}. Fully deterministic: all ties
+    break on (token count desc, length desc, lexicographic).
+    """
+    texts = [t for t in texts if t]
+    result: dict[str, tuple[str, str, float]] = {}
+
+    # -- expected-value evidence --------------------------------------------
+    for f in fields:
+        cands: Counter = Counter()
+        n_ex = 0
+        for text, exp in zip(texts, expected_maps):
+            if not exp:
+                continue
+            v = exp.get(f)
+            if not v:
+                continue
+            nv = normalize_text(v)
+            if not nv:
+                continue
+            start, occ = 0, 0
+            found = False
+            while occ < 4:
+                pos = text.find(nv, start)
+                if pos < 0:
+                    break
+                occ += 1
+                start = pos + 1
+                found = True
+                toks = _context_tokens(text[max(0, pos - 80):pos])
+                for n in range(1, max_anchor_tokens + 1):
+                    if len(toks) >= n:
+                        cands[" ".join(toks[-n:])] += 1
+            if found:
+                n_ex += 1
+        if not cands:
+            continue
+        best = max(cands.values())
+        if best < max(2, n_ex // 2) and n_ex > 1:
+            continue  # no stable preceding label across examples
+        eligible = [c for c, k in cands.items() if k >= 0.95 * best]
+        anchor = sorted(eligible, key=lambda c: (-len(c.split()), -len(c), c))[0]
+        result[f] = (anchor, "expected", best / n_ex if n_ex else 0.0)
+
+    # -- constant-n-gram + lexical-similarity evidence ------------------------
+    need = [f for f in fields if f not in result]
+    if need and texts:
+        df_counter: Counter = Counter()
+        for text in texts:
+            toks = _context_tokens(text)
+            grams = set()
+            for n in range(1, max_anchor_tokens + 1):
+                for i in range(len(toks) - n + 1):
+                    grams.add(" ".join(toks[i:i + n]))
+            for g in grams:
+                df_counter[g] += 1
+        min_df = min_const_frac * len(texts)
+        constants = sorted(g for g, c in df_counter.items() if c >= min_df and g)
+        taken = {a for a, _, _ in result.values()}
+        scored = []
+        for f in need:
+            ftoks = [_fold(t) for t in f.split("_") if t]
+            desc = descriptions.get(f) or ""
+            dtoks = [_fold(t) for t in re.findall(r"\w+", desc)]
+            for g in constants:
+                if _gram_conflicts(g, taken):
+                    continue
+                gtoks = [_fold(t) for t in g.split()]
+                # Field names are short identifiers: every name token should
+                # appear in the label (forward). Descriptions are sentences:
+                # every label token should appear in the description
+                # (reverse, discounted — weaker evidence than the name).
+                sc = max(
+                    _token_sim(ftoks, gtoks),
+                    0.8 * _token_sim(gtoks, dtoks) if dtoks else 0.0,
+                )
+                if sc >= min_sim:
+                    scored.append((sc, f, g))
+        scored.sort(key=lambda x: (-x[0], x[1], -len(x[2].split()), -len(x[2]), x[2]))
+        assigned: set[str] = set()
+        used: set[str] = set()
+        for sc, f, g in scored:
+            if f in assigned or _gram_conflicts(g, used | taken):
+                continue
+            assigned.add(f)
+            used.add(g)
+            result[f] = (g, "similarity", sc)
+
+    rows = []
+    for f in fields:
+        anchor, source, score = result.get(f, (field_anchor(f), "default", 0.0))
+        rows.append(
+            {"field": f, "anchor": anchor, "source": source, "score": float(score)}
+        )
+    return rows
+
+
+def make_discover_fn(max_texts: int = 128):
+    """Grouped applyInPandas body for anchor discovery: one label group in
+    (columns: doc_id, label, norm_text, schema_fields, expected), one anchor
+    row per schema field out (ANCHOR_DDL)."""
+
+    def discover_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["label", "field", "anchor", "source", "score"]
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=cols)
+        pdf = pdf.sort_values("doc_id").head(max_texts)
+        label = pdf["label"].iloc[0]
+        schema = list(pdf["schema_fields"].iloc[0])
+        fields = [s["name"] for s in schema]
+        descriptions = {s["name"]: (s.get("description") or "") for s in schema}
+        expected_maps = [
+            {e["name"]: e["value"] for e in exp} if exp is not None else None
+            for exp in pdf["expected"]
+        ]
+        rows = discover_label_anchors(
+            fields, descriptions, list(pdf["norm_text"]), expected_maps
+        )
+        return pd.DataFrame(
+            [{"label": label, **r} for r in rows], columns=cols
+        )
+
+    return discover_group
 
 
 # ---------------------------------------------------------------------------
@@ -173,18 +401,21 @@ def mine_field_rules(
     texts: list[str],
     min_pass_rate: float = 0.9,
     max_examples: int = 64,
+    anchors: Optional[dict] = None,
 ) -> list[MinedRule]:
-    """Mine up to two rules (value + null) for one (label, field) group."""
+    """Mine up to two rules (value + null) for one (label, field) group.
+    ``anchors`` maps field -> discovered rendered label for this label
+    (:func:`discover_label_anchors`); absent fields use the default."""
     texts = [t for t in texts if t][:max_examples]
     if not texts:
         return []
-    anchor = re.escape(field_anchor(field))
-    boundary = _boundary_lookahead(field, all_fields)
+    anchor = re.escape(_anchor_for(field, anchors))
+    boundary = _boundary_lookahead(field, all_fields, anchors)
 
     # Slow-path extraction over the group's examples.
     examples = []
     for t in texts:
-        v = direct_extract_value(t, field, all_fields)
+        v = direct_extract_value(t, field, all_fields, anchors)
         if v is not None:
             examples.append((t, v))
     if not examples:
@@ -204,7 +435,7 @@ def mine_field_rules(
         # data/fake/caches/fake_dataset_1000samples_seed_1_cache.json), and
         # its generator prompts for it (src/llm.py keyword guard).
         others = sorted(
-            {re.escape(field_anchor(f)) for f in all_fields if f != field},
+            {re.escape(_anchor_for(f, anchors)) for f in all_fields if f != field},
             key=len,
             reverse=True,
         )
@@ -226,10 +457,18 @@ def mine_field_rules(
     return mined
 
 
-def make_miner_fn(min_pass_rate: float = 0.9, max_examples: int = 64):
+def make_miner_fn(
+    min_pass_rate: float = 0.9,
+    max_examples: int = 64,
+    anchors: Optional[dict] = None,
+):
     """Grouped applyInPandas body: one (label, field) group in, zero or more
-    mined-rule rows out. Group payload columns: label, field, norm_text,
-    schema_fields (all fields, for boundary anchors)."""
+    mined-rule rows out. Group payload columns: doc_id, label, field,
+    norm_text, all_fields (for boundary anchors). ``anchors`` maps
+    (label, field) -> discovered anchor (driver-collected, KB-scale — ships
+    in the closure). Examples are sorted by doc_id before truncation so the
+    mined rule is independent of shuffle/partition arrival order
+    (deterministic-replay contract, plans/checkpoint.py)."""
 
     def mine_group(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
@@ -237,9 +476,15 @@ def make_miner_fn(min_pass_rate: float = 0.9, max_examples: int = 64):
                 "label", "field", "rule", "validation_regex", "kind",
                 "support", "pass_rate",
             ])
+        pdf = pdf.sort_values("doc_id")
         label = pdf["label"].iloc[0]
         field = pdf["field"].iloc[0]
         all_fields = list(pdf["all_fields"].iloc[0])
+        label_anchors = (
+            {f: a for (lbl, f), a in anchors.items() if lbl == label}
+            if anchors
+            else None
+        )
         mined = mine_field_rules(
             label,
             field,
@@ -247,6 +492,7 @@ def make_miner_fn(min_pass_rate: float = 0.9, max_examples: int = 64):
             list(pdf["norm_text"]),
             min_pass_rate=min_pass_rate,
             max_examples=max_examples,
+            anchors=label_anchors,
         )
         return pd.DataFrame(
             [

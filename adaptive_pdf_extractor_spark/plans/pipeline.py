@@ -35,10 +35,17 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.rules import RuleBook
 from ..operators.extract import extract_documents, salted_repartition
-from ..operators.miner import MINED_DDL, direct_extract_series, make_miner_fn
+from ..operators.miner import (
+    ANCHOR_DDL,
+    MINED_DDL,
+    direct_extract_series,
+    make_discover_fn,
+    make_miner_fn,
+)
 from ..sources import spark_io
 from .checkpoint import RunManifest
 
@@ -54,6 +61,13 @@ class PipelineConfig:
     miner_sample_mod: int = 1      # 1 = all; K = ~1/K of unresolved docs
     num_partitions: Optional[int] = None
     direct_fallback: bool = True
+    # Corpus-driven anchor discovery (operators.miner.discover_label_anchors):
+    # learn each field's rendered label from the documents instead of
+    # assuming field.title(). Runs once, on a bounded per-label sample of
+    # the first round's unresolved docs; discovered anchors persist in the
+    # manifest so resumed runs replay identically.
+    discover_anchors: bool = True
+    anchor_sample_per_label: int = 128
     # Main-content pre-stage: strip corpus-frequency boilerplate lines from
     # text spans before extraction (operators.layout.boilerplate_strip).
     # Off by default: the reference parity corpora are boilerplate-free and
@@ -101,13 +115,79 @@ class ExtractionPipeline:
         self.run_dir = run_dir
         self.config = config or PipelineConfig()
         self.manifest = RunManifest(run_dir)
+        # (label, field) -> anchor row dict; loaded for exact resume.
+        self.anchors: dict[tuple, dict] = {
+            (a["label"], a["field"]): a
+            for a in self.manifest.state.get("anchors", [])
+        }
 
     # -- internals -----------------------------------------------------------
 
+    def _anchor_map(self) -> dict[tuple, str]:
+        return {k: a["anchor"] for k, a in self.anchors.items()}
+
     def _extract(self, docs: DataFrame, rules_rows: list[dict], final: bool) -> DataFrame:
         book = RuleBook.from_rows(rules_rows)
-        direct = direct_extract_series if (final and self.config.direct_fallback) else None
+        direct = None
+        if final and self.config.direct_fallback:
+            by_label: dict[str, dict[str, str]] = {}
+            for (label, fld), a in self.anchors.items():
+                by_label.setdefault(label, {})[fld] = a["anchor"]
+
+            def direct(lbl, fields, fld, texts, _by_label=by_label):
+                return direct_extract_series(
+                    lbl, fields, fld, texts, anchors=_by_label.get(lbl)
+                )
+
         return extract_documents(docs, book, direct_extractor=direct)
+
+    def _discover_anchors(self, extracted: DataFrame, docs: DataFrame) -> None:
+        """One bounded pass of corpus-driven anchor discovery for labels not
+        yet covered: take the anchor_sample_per_label hash-smallest unresolved
+        docs per label (deterministic at any parallelism), broadcast-join
+        their schema/expected metadata from ``docs`` (streams the big side,
+        no shuffle of docs), and mine anchors per label group. Results are
+        driver state (KB-scale: labels x fields rows) persisted in the
+        manifest, mirroring the rules table's lifecycle."""
+        cfg = self.config
+        covered = sorted({label for (label, _f) in self.anchors})
+        need = extracted.filter(F.size("unresolved") > 0).select(
+            "doc_id", "label", "norm_text"
+        )
+        if covered:
+            need = need.filter(~F.col("label").isin(covered))
+        w = Window.partitionBy("label").orderBy(F.xxhash64("doc_id"), "doc_id")
+        sample = (
+            need.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cfg.anchor_sample_per_label)
+            .drop("_rn")
+        )
+        meta_cols = [docs["doc_id"], docs["schema_fields"]]
+        if "expected" in docs.columns:
+            meta_cols.append(docs["expected"])
+        else:
+            meta_cols.append(
+                F.lit(None)
+                .cast("array<struct<name:string,value:string>>")
+                .alias("expected")
+            )
+        meta = docs.select(*meta_cols)
+        joined = meta.join(F.broadcast(sample), "doc_id")
+        rows = (
+            joined.groupBy("label")
+            .applyInPandas(
+                make_discover_fn(max_texts=cfg.anchor_sample_per_label),
+                schema=ANCHOR_DDL,
+            )
+            .collect()
+        )
+        for r in rows:
+            key = (r["label"], r["field"])
+            if key not in self.anchors:  # first discovery wins (replay-stable)
+                self.anchors[key] = r.asDict()
+        self.manifest.state["anchors"] = sorted(
+            self.anchors.values(), key=lambda a: (a["label"], a["field"])
+        )
 
     def _round_metrics(self, extracted: DataFrame) -> tuple[dict, list[dict]]:
         agg = extracted.groupBy("part_id").agg(
@@ -144,10 +224,25 @@ class ExtractionPipeline:
                 F.explode("unresolved").alias("field"),
             )
         )
+        # Deterministic example selection: keep the max_examples hash-smallest
+        # doc_ids per (label, field) BEFORE the grouped UDF, so (a) the mined
+        # rule is independent of partition/arrival order at any cluster size
+        # (checkpoint.py replay contract) and (b) only a bounded number of
+        # norm_text payloads per group ever shuffle — the rest of the
+        # unresolved corpus never leaves its scan partition.
+        w = Window.partitionBy("label", "field").orderBy(
+            F.xxhash64("doc_id"), "doc_id"
+        )
+        pairs = (
+            pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cfg.max_examples_per_group)
+            .drop("_rn")
+        )
         mined = pairs.groupBy("label", "field").applyInPandas(
             make_miner_fn(
                 min_pass_rate=cfg.min_pass_rate,
                 max_examples=cfg.max_examples_per_group,
+                anchors=self._anchor_map(),
             ),
             schema=MINED_DDL,
         )
@@ -250,6 +345,12 @@ class ExtractionPipeline:
                 try:
                     rules_rows = aggregate_weights(rules_rows, extracted)
                     metrics, lineage = self._round_metrics(extracted)
+                    if cfg.discover_anchors and round_no == start_round:
+                        # Anchors are template properties: one discovery pass
+                        # over the first executed round's unresolved docs
+                        # covers every label that will ever reach the miner
+                        # (unresolved labels shrink monotonically).
+                        self._discover_anchors(extracted, docs)
                     mined = self._mine(extracted)
                 finally:
                     extracted.unpersist()
@@ -263,13 +364,19 @@ class ExtractionPipeline:
                 if not accepted:
                     break  # converged: another scan cannot change anything
 
-            final = self._extract(docs, rules_rows, final=True)
-            output = final.select("doc_id", "spans")
-            out_path = f"{self.run_dir}/output"
-            if write_output:
-                spark_io.write_table(output, out_path)
-                output = spark_io.read_table(self.spark, out_path)
-            summary, _ = self._round_metrics(final) if not write_output else ({}, [])
+            final = self._extract(docs, rules_rows, final=True).persist()
+            try:
+                output = final.select("doc_id", "spans")
+                out_path = f"{self.run_dir}/output"
+                if write_output:
+                    spark_io.write_table(output, out_path)
+                    output = spark_io.read_table(self.spark, out_path)
+                # Final-pass metrics on BOTH paths (a persisted production
+                # run must not finish with an empty summary); the persist
+                # above makes this a cache scan, not a second extraction.
+                summary, _ = self._round_metrics(final)
+            finally:
+                final.unpersist()
             self.manifest.finish(out_path if write_output else None, summary)
             return output
         finally:

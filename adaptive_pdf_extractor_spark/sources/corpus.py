@@ -163,18 +163,30 @@ def reference_doc_id(corpus: str, idx0: int) -> str:
     return f"{corpus}/{idx0:06d}"
 
 
-def reference_dataset_to_rows(path: str, corpus: Optional[str] = None) -> list[dict]:
-    """Convert a reference dataset JSON into engine input rows."""
+def reference_dataset_to_rows(
+    path: str, corpus: Optional[str] = None, pdf_loader=None
+) -> list[dict]:
+    """Convert a reference dataset JSON into engine input rows.
+
+    Fake datasets inline ``pdf_text``; the real dataset
+    (data/real/dataset.json, reference src/data.py:117) instead names a
+    ``pdf_path`` relative to the JSON. Pass ``pdf_loader`` (e.g.
+    ``sources.pdf.load_pdf_text``) to decode those documents; without a
+    loader the row keeps empty text (schema/label/doc_id still real — the
+    decode tier is import-gated on pypdf, sources/pdf.py)."""
     corpus = corpus or os.path.splitext(os.path.basename(path))[0]
     rows = []
     for i, rec in enumerate(load_reference_json(path)):
         doc_id = reference_doc_id(corpus, i)
         schema = rec.get("extraction_schema", {})
         expected = rec.get("expected_answer")
+        text = rec.get("pdf_text")
+        if text is None and rec.get("pdf_path") and pdf_loader is not None:
+            text = pdf_loader(os.path.join(os.path.dirname(path), rec["pdf_path"]))
         rows.append(
             {
                 "doc_id": doc_id,
-                "spans": text_to_spans(doc_id, rec.get("pdf_text", "")),
+                "spans": text_to_spans(doc_id, text or ""),
                 "label": rec.get("label", ""),
                 "schema_fields": [
                     {"name": k, "description": v} for k, v in schema.items()

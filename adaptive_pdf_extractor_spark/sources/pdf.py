@@ -84,6 +84,16 @@ def parse_pdf_bytes(data: bytes) -> tuple[list[Block], list[str], float]:
     raise ValueError("unrecognized document container")
 
 
+def load_pdf_text(path: str) -> str:
+    """One local PDF file -> reading-order text (driver-side helper for the
+    real dataset's ``pdf_path`` records, reference src/data.py:201-223).
+    Raises NotImplementedError for real %PDF bytes when pypdf is absent."""
+    with open(path, "rb") as f:
+        data = f.read()
+    blocks, _media, page_height = parse_pdf_bytes(data)
+    return reading_order_text(blocks, page_height=page_height)
+
+
 def pdf_bytes_to_span_rows(
     doc_id: str, data: bytes, label: str = "", schema_fields: Optional[list] = None
 ) -> dict:

@@ -88,12 +88,46 @@ def synthetic_corpus_df(
     return rng_df.mapInPandas(gen, schema=INPUT_DDL)
 
 
-def write_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    df.write.mode(mode).parquet(path)
+CATALOGS = ("parquet", "iceberg")
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def _require_iceberg(spark: SparkSession) -> None:
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    if "IcebergSparkSessionExtensions" not in ext:
+        raise RuntimeError(
+            "catalog='iceberg' requested but no Iceberg runtime is configured "
+            "(spark.sql.extensions lacks IcebergSparkSessionExtensions). Ship "
+            "the iceberg-spark-runtime jar and set spark.sql.extensions + a "
+            "spark.sql.catalog.* entry; the parquet layout here maps 1:1 onto "
+            "Iceberg snapshots (SURVEY §7.1.5)."
+        )
+
+
+def write_table(
+    df: DataFrame, path: str, mode: str = "overwrite", catalog: str = "parquet"
+) -> None:
+    """Catalog-dispatched table writer (SURVEY §7.1.5's --catalog switch).
+    'parquet' (default): plain parquet + the JSON manifests written by
+    plans/checkpoint.py. 'iceberg': format('iceberg') path tables — requires
+    the runtime jar (absent in this sandbox; fails with a clear error)."""
+    if catalog == "parquet":
+        df.write.mode(mode).parquet(path)
+    elif catalog == "iceberg":
+        _require_iceberg(df.sparkSession)
+        df.write.format("iceberg").mode(mode).save(path)
+    else:
+        raise ValueError(f"unknown catalog {catalog!r}; expected one of {CATALOGS}")
+
+
+def read_table(
+    spark: SparkSession, path: str, catalog: str = "parquet"
+) -> DataFrame:
+    if catalog == "parquet":
+        return spark.read.parquet(path)
+    elif catalog == "iceberg":
+        _require_iceberg(spark)
+        return spark.read.format("iceberg").load(path)
+    raise ValueError(f"unknown catalog {catalog!r}; expected one of {CATALOGS}")
 
 
 def spans_equal_expr() -> "F.Column":

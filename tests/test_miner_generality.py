@@ -43,14 +43,16 @@ def _value(rng: corpus_mod._Rng, shape: str) -> str:
     return f"{rng.choice(_WORDS).title()} {rng.randint(100, 9999)}"
 
 
-def _random_corpus(seed: int, label: str, template, count: int):
+def _random_corpus(seed: int, label: str, template, count: int, label_map=None):
+    """``label_map`` overrides the rendered label per field (default: the
+    title-cased field name, the reference generator's convention)."""
     rows = []
     for i in range(count):
         doc_id = f"{label}/{i:06d}"
         rng = corpus_mod._Rng(corpus_mod._stable_hash(f"{seed}:{doc_id}"))
         chunks, expected = [], {}
         for fname, shape in template:
-            title = fname.replace("_", " ").title()
+            title = (label_map or {}).get(fname) or fname.replace("_", " ").title()
             if rng.random() < 0.7:
                 v = _value(rng, shape)
                 expected[fname] = v
@@ -104,3 +106,141 @@ def test_learns_unseen_random_templates(spark, tmp_path, seed):
     # rules learned for every label
     labels = {r["label"] for r in pipe.final_rules()}
     assert labels == {f"tmpl_{seed}_{li}" for li in range(3)}
+
+
+# ---------------------------------------------------------------------------
+# Rendered label != title-cased schema field name (the reference LLM's core
+# generality: schema says `nome`, the page says "Nome Completo:" or "Name" —
+# reference src/pipeline.py:72-143, prompts src/llm.py:26-59).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as SF
+
+from adaptive_pdf_extractor_spark.operators import miner as miner_mod
+
+
+def test_discover_anchors_expected_path_arbitrary_labels():
+    """Ground truth available, labels lexically unrelated to field names:
+    the preceding-n-gram counter must recover the printed label."""
+    texts, exps = [], []
+    for i in range(20):
+        v1, v2 = f"{10000 + i * 7}", f"Pessoa {i:03d}"
+        texts.append(f"Registro Geral {v1} Titular Do Documento {v2} Fim")
+        exps.append({"campo_um": v1, "campo_dois": v2})
+    rows = miner_mod.discover_label_anchors(
+        ["campo_um", "campo_dois"], {}, texts, exps
+    )
+    by_field = {r["field"]: r for r in rows}
+    assert by_field["campo_um"]["anchor"] == "Registro Geral"
+    assert by_field["campo_um"]["source"] == "expected"
+    assert by_field["campo_dois"]["anchor"] == "Titular Do Documento"
+
+
+def test_discover_anchors_similarity_path_no_ground_truth():
+    """No expected values: constant n-grams + lexical similarity must map
+    `nome` -> "Nome Completo" and `data_emissao` -> "Data De Emissao"."""
+    texts = [
+        f"Nome Completo X{i:04d} Y{i % 7} Data De Emissao {1000 + i}"
+        for i in range(20)
+    ]
+    rows = miner_mod.discover_label_anchors(
+        ["nome", "data_emissao"], {}, texts, [None] * 20
+    )
+    by_field = {r["field"]: r for r in rows}
+    assert by_field["nome"]["anchor"] == "Nome Completo"
+    assert by_field["nome"]["source"] == "similarity"
+    assert by_field["data_emissao"]["anchor"] == "Data De Emissao"
+
+
+def test_discover_anchors_cross_language_and_default():
+    """`nome` labeled "Name" matches by fuzzy ratio (0.75); a field with no
+    evidence at all falls back to the title-cased default."""
+    texts = [f"Name X{i:04d} End" for i in range(20)]
+    rows = miner_mod.discover_label_anchors(
+        ["nome", "ausente"], {}, texts, [None] * 20
+    )
+    by_field = {r["field"]: r for r in rows}
+    assert by_field["nome"]["anchor"] == "Name"
+    assert by_field["ausente"]["anchor"] == "Ausente"
+    assert by_field["ausente"]["source"] == "default"
+
+
+def test_discover_anchors_description_evidence():
+    """Schema description tokens count as evidence when the field name
+    itself is opaque (the reference LLM reads descriptions too)."""
+    texts = [f"Orgao Expedidor {100 + i} Fim" for i in range(20)]
+    rows = miner_mod.discover_label_anchors(
+        ["campo_x"],
+        {"campo_x": "orgao expedidor do documento"},
+        texts,
+        [None] * 20,
+    )
+    assert rows[0]["anchor"] == "Orgao Expedidor"
+    assert rows[0]["source"] == "similarity"
+
+
+_RELATED_LABELS = {
+    # field -> printed label: overlapping tokens / fuzzy match, never equal
+    "nome": "Nome Completo",
+    "data_emissao": "Data De Emissao",
+    "matricula": "Numero Matricula",
+    "name": "Full Name",
+    "classe": "Classe Atual",
+}
+_RELATED_SHAPES = ["digits", "code", "digits", "code", "digits"]
+
+_ARBITRARY_LABELS = {
+    # field -> printed label: no lexical relation at all
+    "campo_um": "Registro Geral",
+    "campo_dois": "Data De Expedicao",
+    "campo_tres": "Observacao Final",
+    "campo_quatro": "Situacao",
+}
+_ARBITRARY_SHAPES = ["digits", "code", "word", "mixed"]
+
+
+def test_pipeline_learns_related_labels_without_ground_truth(spark, tmp_path):
+    """Similarity-path end-to-end: labels share tokens with field names but
+    are never equal to them; `expected` is hidden from the pipeline."""
+    template = list(zip(_RELATED_LABELS.keys(), _RELATED_SHAPES))
+    docs = spark_io.input_df_from_rows(
+        spark,
+        _random_corpus(77, "rel", template, 150, label_map=_RELATED_LABELS),
+    )
+    blind = docs.withColumn(
+        "expected",
+        SF.lit(None).cast("array<struct<name:string,value:string>>"),
+    )
+    pipe = ExtractionPipeline(
+        spark,
+        str(tmp_path / "rel"),
+        PipelineConfig(max_rounds=3, num_partitions=4),
+    )
+    out = pipe.run(blind, initial_rules_rows=[], write_output=False)
+    acc = field_accuracy(out, docs)
+    assert acc.docs == 150
+    assert acc.accuracy > 0.9, f"accuracy {acc.accuracy:.3f} with hidden labels"
+    sources = {a["source"] for a in pipe.anchors.values()}
+    assert "similarity" in sources
+
+
+def test_pipeline_learns_arbitrary_labels_with_ground_truth(spark, tmp_path):
+    """Expected-path end-to-end: printed labels have zero lexical relation
+    to the schema field names; only value-adjacency evidence can solve it."""
+    template = list(zip(_ARBITRARY_LABELS.keys(), _ARBITRARY_SHAPES))
+    docs = spark_io.input_df_from_rows(
+        spark,
+        _random_corpus(88, "arb", template, 150, label_map=_ARBITRARY_LABELS),
+    )
+    pipe = ExtractionPipeline(
+        spark,
+        str(tmp_path / "arb"),
+        PipelineConfig(max_rounds=3, num_partitions=4),
+    )
+    out = pipe.run(docs, initial_rules_rows=[], write_output=False)
+    acc = field_accuracy(out, docs)
+    assert acc.docs == 150
+    assert acc.accuracy > 0.9, f"accuracy {acc.accuracy:.3f} on arbitrary labels"
+    by_key = {(k[1]): a for k, a in pipe.anchors.items()}
+    assert by_key["campo_um"]["anchor"] == "Registro Geral"
+    assert by_key["campo_um"]["source"] == "expected"

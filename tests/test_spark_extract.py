@@ -36,11 +36,20 @@ def _parity_count(spark, name: str) -> tuple[int, int]:
 
 
 @pytest.mark.parametrize(
-    "name", ["fake_dataset_1000samples_seed_1", "fake_dataset_1000samples_seed_2"]
+    "name,n",
+    [
+        ("fake_dataset_1000samples_seed_1", 1000),
+        ("fake_dataset_1000samples_seed_2", 1000),
+        ("fake_dataset_1000samples_seed_3", 1000),
+        ("fake_dataset_2000samples_seed_1", 2000),
+        ("fake_dataset_3000samples_seed_1", 3000),
+    ],
 )
-def test_golden_span_parity(spark, name):
+def test_golden_span_parity(spark, name, n):
+    """All 5 shipped corpora (8,000 docs) — the CLAUDE.md invariant is only
+    real if the suite pins every corpus, not just two of them."""
     equal, total = _parity_count(spark, name)
-    assert total == 1000
+    assert total == n
     assert equal == total, f"span parity {equal}/{total}"
 
 
