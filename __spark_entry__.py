@@ -272,6 +272,42 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_vec_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings unioned with deterministically perturbed copies
+    (vec_id+100000, per-element scale in [0.994, 1.006] -> cosine ~0.9999)
+    — planted near-duplicate vectors, the embedding analog of
+    :func:`_planted_dups`."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    mutated = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "cast(transform(embedding, (x, i) -> x * (1.0 + 0.002"
+            " * (pmod(i + vec_id, 7) - 3))) as array<float>)"
+        ).alias("embedding"),
+    )
+    return e.unionByName(mutated)
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup (OR-amplified hyperplane tables) over planted
+    near-duplicate vectors at 2x the embeddings table — the scale path for
+    q_embedding_neardup's quadratic small-N oracle. Rows-only: hyperplane
+    sign buckets are float-fold-order sensitive, so no ANSI oracle; the
+    pairs are verified against the exact path in
+    tests/test_dedup_similarity.py (subset + identical cosines + planted
+    recall), and bench.py times it at 10x the exact path's N."""
+    return similarity.embedding_neardup_pairs(
+        _planted_vec_dups(spark, sf_dir),
+        "vec_id",
+        "embedding",
+        threshold=0.95,
+        n_planes=8,
+        n_tables=4,
+    )
+
+
 def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -330,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "regex_extract": q_regex_extract,
         "adaptive_extract": q_adaptive_extract,
         "simhash_neardup": q_simhash_neardup,
@@ -562,6 +599,8 @@ def oracle_sql() -> dict[str, str]:
                        AS first_kw
             FROM documents
         """,
-        # adaptive_extract, simhash_neardup, ann_lsh_topk: intentionally no
-        # oracle (iterative/approximate/hash-engine-specific) -> rows-only.
+        # adaptive_extract, simhash_neardup, ann_lsh_topk, ann_ivf_topk,
+        # winnowing_sketch, embedding_neardup_lsh: intentionally no oracle
+        # (iterative/approximate/hash-engine-specific) -> rows-only; each is
+        # pinned by a dedicated exactness/recall test instead.
     }

@@ -1,17 +1,20 @@
 """Text-analysis functions for large-scale training-data pipelines.
 
-Every function here builds **JVM-side Column expressions** (whole-stage
-codegen, no Python in the hot path) — the Spark-first counterpart of the
-reference's row-at-a-time Python string ops. Python/pandas appears only
-where CPython ``re`` parity is required (see functions.rules) — these
-analytics ops have no such constraint, so they stay in the engine.
+Functions here build **JVM-side Column expressions** (whole-stage codegen,
+no Python in the hot path) — the Spark-first counterpart of the reference's
+row-at-a-time Python string ops — except where per-element array math would
+run as interpreted higher-order lambdas; those hot folds (winnowing window
+minima) run as Arrow-batched numpy instead, with the Column formulation
+kept as the executable spec.
 
-All are deterministic and DuckDB-expressible, giving them exact SQL oracles
-in the driver's correctness harness (__spark_entry__.oracle_sql).
+The scalar functions are deterministic and DuckDB-expressible, giving them
+exact SQL oracles in the driver's correctness harness
+(__spark_entry__.oracle_sql).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -145,6 +148,48 @@ def bpe_token_count(col: Column) -> Column:
     )
 
 
+def _gram_hashes(col: Column, k: int) -> Column:
+    """xxhash64 of every k-gram position of the lowercased text (one
+    interpreted transform pass — the same per-element JVM hashing the
+    minhash path pays; see operators/dedup.py)."""
+    lowered = F.lower(col)
+    n_grams = F.greatest(F.length(lowered) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(lowered.substr(i, F.lit(k))),
+    )
+
+
+def winnowing_minima_np(window: int):
+    """Arrow-batched winnowing window minima: k-gram hash arrays in,
+    distinct-sorted window minima out, one numpy sliding-window reduce per
+    document. Replaces the second interpreted ``transform`` pass of the
+    Column formulation (~len(text) array_min lambda evals per doc — the
+    interpreted-lambda anti-pattern; 20 kB docs paid ~40k evals)."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def mins(hashes):
+        out = []
+        for hs in hashes:
+            if hs is None:
+                out.append(None)
+                continue
+            h = np.asarray(hs, dtype=np.int64)
+            if len(h) == 0:
+                out.append([])
+                continue
+            if len(h) <= window:
+                m = h.min(keepdims=True)
+            else:
+                m = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+            out.append(np.unique(m).tolist())
+        return pd.Series(out)
+
+    mins.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
+    return pandas_udf("array<bigint>")(mins)
+
+
 def winnowing_fingerprints(
     col: Column, k: int = 7, window: int = 4
 ) -> Column:
@@ -154,14 +199,20 @@ def winnowing_fingerprints(
     >= k + window - 1 contributes a shared fingerprint — the classic
     rolling-hash fingerprinting scheme for near-dup/plagiarism detection.
 
-    Entirely Column algebra: k-gram hashes via xxhash64 over substr, window
-    minima via transform over an index sequence; distinct-sorted output."""
-    lowered = F.lower(col)
-    n_grams = F.greatest(F.length(lowered) - (k - 1), F.lit(1))
-    gram_hashes = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.xxhash64(lowered.substr(i, F.lit(k))),
-    )
+    JVM hashes each k-gram once; window minima run as one numpy sliding
+    reduce per doc (winnowing_minima_np). Bit-identical to the Column
+    reference formulation below (pinned by test)."""
+    return winnowing_minima_np(window)(_gram_hashes(col, k))
+
+
+def winnowing_fingerprints_columns(
+    col: Column, k: int = 7, window: int = 4
+) -> Column:
+    """Reference formulation of :func:`winnowing_fingerprints`, entirely as
+    Column algebra: window minima via an interpreted transform over an
+    index sequence. Kept as the executable spec the fast path is pinned
+    against — do not use in the hot path."""
+    gram_hashes = _gram_hashes(col, k)
     n_windows = F.greatest(F.size(gram_hashes) - (window - 1), F.lit(1))
     mins = F.transform(
         F.sequence(F.lit(1), n_windows),

@@ -278,10 +278,56 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def simhash64_np():
+    """Arrow-batched SimHash: per-token JVM xxhash64 values in (one
+    interpreted ``transform`` pass, same as the minhash path), 64-bit
+    signature out via one numpy unpack/sign-sum per document. Replaces the
+    Column-algebra formulation below, whose 64 interpreted ``F.aggregate``
+    folds cost ~64 x n_tokens lambda evals per row (the interpreted-lambda
+    anti-pattern already fixed for minhash — see minhash_signatures_np).
+    Output is bit-identical to :func:`simhash64_columns` (pinned by test)."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.left_shift(np.uint64(1), shifts)
+
+    def sim(hashes):
+        out = []
+        for hs in hashes:
+            if hs is None:
+                # Column version folds a null token array to signature 0
+                # (when(null > 0) takes the otherwise branch); match it.
+                out.append(0)
+                continue
+            n = len(hs)
+            if n == 0:
+                out.append(0)
+                continue
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+            contrib = 2 * bits.sum(axis=0, dtype=np.int64) - n
+            sigu = int(weights[contrib > 0].sum(dtype=np.uint64))
+            out.append(sigu - (1 << 64) if sigu >= (1 << 63) else sigu)
+        return pd.Series(out)
+
+    sim.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
+    return pandas_udf("bigint")(sim)
+
+
 def simhash64(text_col: Column) -> Column:
-    """64-bit SimHash over whitespace tokens, entirely as Column algebra:
-    bit k of the signature = sign of sum over tokens of bit k (+-1) of the
-    token's xxhash64."""
+    """64-bit SimHash over whitespace tokens: bit k of the signature = sign
+    of sum over tokens of bit k (+-1) of the token's xxhash64. JVM hashes
+    each token once; the 64-bit fold runs as numpy (simhash64_np)."""
+    hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    return simhash64_np()(hashes)
+
+
+def simhash64_columns(text_col: Column) -> Column:
+    """Reference formulation of :func:`simhash64`, entirely as Column
+    algebra. Interpreted (not codegen'd): 64 ``F.aggregate`` folds per row.
+    Kept as the executable spec the fast path is pinned against — do not
+    use in the hot path."""
     toks = tokens(text_col)
     bit_cols = []
     for k in range(64):

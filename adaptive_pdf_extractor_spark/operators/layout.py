@@ -272,8 +272,12 @@ def boilerplate_strip(
     ``<text_col>_clean`` column; other columns pass through."""
     doc_totals = docs.groupBy(source_col).agg(F.count("*").alias("_n_docs"))
 
-    # doc id must be assigned BEFORE the explode (per-document distinct)
-    lines = docs.withColumn("_rid", F.monotonically_increasing_id()).select(
+    # row id assigned ONCE, before any explode: it keys both the
+    # per-document distinct in the frequency count and the re-assembly
+    # (grouping by all doc columns instead would collapse identical rows
+    # and silently drop documents whose every line is boilerplate).
+    with_rid = docs.withColumn("_rid", F.monotonically_increasing_id())
+    lines = with_rid.select(
         F.col(source_col).alias("_src"),
         "_rid",
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
@@ -294,22 +298,27 @@ def boilerplate_strip(
     )
     # Re-filter each doc's lines against the frequent set. The frequent set
     # is tiny (boilerplate cardinality ~ sites x lines-per-template) ->
-    # broadcast hash anti-join, no second shuffle of the corpus.
-    cleaned_lines = (
-        docs.select(
-            "*",
-            F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
-        )
-        .withColumn("_fp", F.xxhash64(F.trim("_line")))
-        .withColumn("_src", F.col(source_col))
+    # broadcast hash anti-join, no second shuffle of the corpus. Re-assembly
+    # groups by _rid only and joins back to the docs, so a fully-stripped
+    # document survives (as "") and duplicate rows stay distinct — the same
+    # shape as strip_boilerplate_spans above.
+    clean_col = f"{text_col}_clean"
+    cleaned = (
+        lines.withColumn("_fp", F.xxhash64(F.trim("_line")))
         .join(F.broadcast(freq), ["_src", "_fp"], "left_anti")
-    )
-    group_cols = [c for c in docs.columns]
-    return (
-        cleaned_lines.groupBy(*group_cols)
+        .groupBy("_rid")
         .agg(
             F.concat_ws(
-                "\n", F.transform(F.array_sort(F.collect_list(F.struct("_pos", "_line"))), lambda s: s["_line"])
-            ).alias(f"{text_col}_clean")
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+            ).alias(clean_col)
         )
+    )
+    return (
+        with_rid.join(cleaned, "_rid", "left")
+        .withColumn(clean_col, F.coalesce(F.col(clean_col), F.lit("")))
+        .drop("_rid")
     )

@@ -142,12 +142,21 @@ def train_ivf_centroids(
     import numpy as np
     from pyspark.sql import functions as F
 
+    # Bernoulli sample + limit instead of orderBy(hash).limit: the global
+    # TakeOrderedAndProject kept k x partitions candidates in the driver
+    # merge; sample() is embarrassingly parallel and limit() short-circuits
+    # the scan. Training runs once per corpus, so the count() here is a
+    # one-time column-pruned scan.
+    n = df.count()
+    fraction = min(1.0, (4.0 * sample) / max(n, 1))
     rows = (
         df.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col).cast("array<double>").cast("string")))
+        .sample(fraction=fraction, seed=seed)
         .limit(sample)
         .collect()
     )
+    if not rows:  # tiny corpus + unlucky sample: fall back to a full take
+        rows = df.select(vec_col).limit(sample).collect()
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)
     x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
     rng_idx = [
@@ -228,37 +237,69 @@ def embedding_neardup_pairs(
     vec_col: str,
     threshold: float = 0.95,
     n_planes: int = 0,
+    n_tables: int = 1,
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold. n_planes=0 -> exact (self-join;
-    quadratic — candidate sets / small corpora). n_planes>0 -> LSH-bucketed
-    self-join (pairs must share the bucket — the scale path)."""
-    # Norms are hoisted out of the O(n^2) pair loop: computed once per row
+    """All pairs with cosine >= threshold.
+
+    * ``n_planes=0`` — exact (self-join; quadratic). The small-N oracle and
+      the verifier for the bucketed path.
+    * ``n_planes>0`` — LSH-bucketed: pairs are candidates iff they share a
+      sign-bucket in at least one of ``n_tables`` independent hyperplane
+      tables (OR-amplification, the cosine analog of minhash banding:
+      recall = 1-(1-p^planes)^tables with p = 1 - angle/pi). Candidates are
+      deduped as bare (id_a, id_b) BEFORE vectors join back for the exact
+      cosine verification — the 100 TB path: no vector payload rides the
+      bucket shuffle.
+    """
+    # Norms are hoisted out of the O(pairs) loop: computed once per row
     # (same fold order as inline, so the float result — and the DuckDB
     # oracle match — is bit-identical), pairs then cost one dot product.
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).withColumn("nrm", _norm(F.col("vec")))
+    xa = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a")
+    )
+    xb = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
+    )
     if n_planes > 0:
         if dim is None:
             dim = len(base.first()["vec"])
-        planes = hyperplanes(dim, n_planes, seed)
-        base = base.withColumn("_bucket", lsh_bucket_expr(F.col("vec"), planes))
-        x, y = base.alias("x"), base.alias("y")
-        joined = x.join(y, ["_bucket"])
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tab"),
+                    lsh_bucket_expr(
+                        F.col("vec"), hyperplanes(dim, n_planes, seed + 101 * t)
+                    ).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        buck = base.select("id", F.explode(tables).alias("tb")).select(
+            "id", "tb.tab", "tb.bucket"
+        )
+        cand = (
+            buck.alias("x")
+            .join(buck.alias("y"), ["tab", "bucket"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+        joined = cand.join(xa, "id_a").join(xb, "id_b")
     else:
-        x, y = base.alias("x"), base.alias("y")
-        joined = x.crossJoin(y)
-    cos = _dot(F.col("x.vec"), F.col("y.vec")) / (F.col("x.nrm") * F.col("y.nrm"))
+        joined = xa.crossJoin(xb).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
-        joined.filter(F.col("x.id") < F.col("y.id"))
-        .withColumn("_cos", cos)
+        joined.withColumn("_cos", cos)
         .filter(F.col("_cos") >= threshold)  # threshold pre-rounding (= oracle)
         .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round(F.col("_cos"), 6).alias("cosine"),
         )
     )

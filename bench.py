@@ -109,6 +109,56 @@ def main() -> None:
 
     timed("minhash_lsh_full", minhash_full)
 
+    # Bucketed embedding near-dup at 10x the exact query's N: the full
+    # embeddings table unioned with 4 deterministically perturbed copies
+    # (materialized outside the timed section). The quadratic exact path at
+    # this N would carry ~100x the pair count; the bucketed path is the one
+    # that survives the scale-up.
+    from adaptive_pdf_extractor_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    big = emb
+    for j in range(1, 5):
+        big = big.unionByName(
+            emb.select(
+                (F.col("vec_id") + 100000 * j).alias("vec_id"),
+                F.expr(
+                    f"cast(transform(embedding, (x, i) -> x * (1.0 + 0.002 * {j}"
+                    " * (pmod(i + vec_id, 7) - 3))) as array<float>)"
+                ).alias("embedding"),
+            )
+        )
+    big = big.persist()
+    n_vectors = big.count()
+
+    def emb_lsh():
+        similarity.embedding_neardup_pairs(
+            big, "vec_id", "embedding", threshold=0.95, n_planes=8, n_tables=4
+        ).count()
+
+    timed("embedding_neardup_lsh_10x", emb_lsh)
+    big.unpersist()
+
+    # Sustained fast-path throughput at 10x the headline corpus (single
+    # timed run — the JVM/JIT is warm from the 100k point; generation is
+    # outside the timed section). Set BENCH_SUSTAINED_DOCS=0 to skip.
+    sustained_docs = int(os.environ.get("BENCH_SUSTAINED_DOCS", "1000000"))
+    sustained_per_sec = None
+    if sustained_docs > 0:
+        big_corpus = spark_io.synthetic_corpus_df(
+            spark, seed=77, count=sustained_docs, partitions=CPUS * 4
+        ).persist()
+        big_corpus.count()
+        t0 = time.time()
+        extract_documents(big_corpus, book).select(
+            F.sum(F.size("spans")), F.sum(F.size("unresolved"))
+        ).collect()
+        timings["fastpath_sustained_1m"] = round(time.time() - t0, 3)
+        sustained_per_sec = round(sustained_docs / timings["fastpath_sustained_1m"], 1)
+        big_corpus.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -120,6 +170,9 @@ def main() -> None:
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "docs_per_sec": docs_per_sec,
                 "fastpath_docs": FASTPATH_DOCS,
+                "sustained_docs": sustained_docs,
+                "sustained_docs_per_sec": sustained_per_sec,
+                "lsh_vectors": n_vectors,
                 "cpus": CPUS,
             }
         )

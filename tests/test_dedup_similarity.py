@@ -143,3 +143,71 @@ def test_lsh_topk_contains_query_neighbors(vectors):
     brute_ids = [r["id"] for r in brute.collect()]
     recall = len(set(ids) & set(brute_ids)) / 5
     assert recall >= 0.4  # coarse bound: 4 planes halve the space 4x
+
+
+def test_simhash_np_matches_column_reference(spark):
+    """The Arrow/numpy SimHash (hot path) must be bit-identical to the
+    Column-algebra reference formulation — pinned BEFORE the pairs query
+    switched paths, so simhash_neardup's rows-only output is provably
+    unchanged. Includes empty/whitespace/null/unicode/long-text edges."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumped over the lazy dog",
+        "", "   ", None, "one", "a a a b", "páscoa é uma festa",
+        "x" * 200 + " y z", " ".join(str(i) for i in range(500)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, t string"
+    )
+    rows = df.select(
+        "id",
+        dedup.simhash64(F.col("t")).alias("fast"),
+        dedup.simhash64_columns(F.col("t")).alias("ref"),
+    ).orderBy("id").collect()
+    assert all(r["fast"] == r["ref"] for r in rows)
+    by_id = {r["id"]: r["fast"] for r in rows}
+    # literal pins: any change to tokenization/hash/fold breaks these
+    assert by_id[1] == -7591894778356981510
+    assert by_id[5] == 4979828377929325953
+    assert by_id[2] == 0 and by_id[3] == 0 and by_id[4] == 0
+
+
+def test_embedding_neardup_lsh_matches_exact(spark):
+    """The bucketed path (n_planes/n_tables) is verified against the exact
+    quadratic path: every returned pair exists in the exact result with an
+    identical cosine (exact verification inside the operator), and planted
+    near-dups are recovered with recall >= 0.9 (OR-amplified tables:
+    1-(1-p^8)^4, p ~ 0.97 at cosine ~0.995)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(300):
+        v = rng.randn(16)
+        rows.append({"vec_id": i, "embedding": [float(x) for x in v]})
+        if i < 20:  # planted near-dups
+            rows.append(
+                {
+                    "vec_id": 1000 + i,
+                    "embedding": [float(x) for x in v + rng.randn(16) * 0.01],
+                }
+            )
+    df = spark.createDataFrame(rows).cache()
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.95, n_planes=8, n_tables=4
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)  # no false positives survive verification
+    assert all(lsh[k] == exact[k] for k in lsh)  # identical cosines
+    planted = {(i, 1000 + i) for i in range(20)} & set(exact)
+    assert planted, "planted dups must clear the exact threshold"
+    recall = len(set(lsh) & planted) / len(planted)
+    assert recall >= 0.9, f"planted recall {recall:.2f}"

@@ -81,7 +81,14 @@ def test_rows_only_queries_run(spark):
     """Queries without an oracle must still run and return rows."""
     qs = entry_mod.queries()
     no_oracle = set(qs) - set(entry_mod.oracle_sql())
-    assert no_oracle == {"adaptive_extract", "simhash_neardup", "ann_lsh_topk", "ann_ivf_topk", "winnowing_sketch"}
+    assert no_oracle == {
+        "adaptive_extract",
+        "simhash_neardup",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "winnowing_sketch",
+        "embedding_neardup_lsh",
+    }
     for name in sorted(no_oracle):
         df = qs[name](spark, SF_DIR)
         n = df.count()

@@ -257,3 +257,27 @@ def test_boilerplate_strip(spark):
     assert "NAVBAR" not in got[25]
     # unique lines intact
     assert got[25] == "other 25"
+
+
+def test_boilerplate_strip_keeps_fully_stripped_and_duplicate_docs(spark):
+    """A document whose every line is boilerplate must survive as "" (not
+    vanish), and two rows identical in all columns must stay two rows."""
+    rows = []
+    for i in range(10):
+        rows.append(
+            {"doc_id": i, "source": "s", "text": f"NAV\nbody {i}\nFOOTER"}
+        )
+    # doc made of nothing but boilerplate
+    rows.append({"doc_id": 100, "source": "s", "text": "NAV\nFOOTER"})
+    # two fully identical rows (same doc_id, source, text)
+    rows.append({"doc_id": 200, "source": "s", "text": "NAV\ndup body\nFOOTER"})
+    rows.append({"doc_id": 200, "source": "s", "text": "NAV\ndup body\nFOOTER"})
+    df = spark.createDataFrame(rows)
+    out = boilerplate_strip(df, min_doc_frac=0.6, min_docs=5).collect()
+    assert len(out) == len(rows)  # no row lost, none collapsed
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["doc_id"], []).append(r["text_clean"])
+    assert by_id[100] == [""]  # fully-stripped doc survives, empty
+    assert by_id[200] == ["dup body", "dup body"]
+    assert by_id[0] == ["body 0"]

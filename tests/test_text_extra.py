@@ -53,3 +53,27 @@ def test_winnowing_short_and_empty(spark):
     s_tiny, s_empty = _sketch(spark, ["abc", ""])
     assert len(s_tiny) == 1  # single k-gram window on short text
     assert len(s_empty) == 1  # hash of the empty substring — defined, stable
+
+
+def test_winnowing_np_matches_column_reference(spark):
+    """The numpy sliding-min winnowing (hot path) must be bit-identical to
+    the Column-algebra reference formulation, including the degenerate
+    edges (empty text, text shorter than k, null -> [xxhash64(null)])."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "abc", "", None, "x" * 500,
+        " ".join(str(i) for i in range(300)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, t string"
+    )
+    rows = df.select(
+        "id",
+        T.winnowing_fingerprints(F.col("t")).alias("fast"),
+        T.winnowing_fingerprints_columns(F.col("t")).alias("ref"),
+        T.winnowing_fingerprints(F.col("t"), k=4, window=7).alias("fast2"),
+        T.winnowing_fingerprints_columns(F.col("t"), k=4, window=7).alias("ref2"),
+    ).collect()
+    for r in rows:
+        assert r["fast"] == r["ref"], r["id"]
+        assert r["fast2"] == r["ref2"], r["id"]
