@@ -336,7 +336,9 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified against brute force in tests/)."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return similarity.lsh_topk(e, "vec_id", "embedding", qvec, k=10, n_planes=4)
+    return similarity.lsh_topk(
+        e, "vec_id", "embedding", qvec, k=10, n_planes=4, n_probes=3
+    )
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

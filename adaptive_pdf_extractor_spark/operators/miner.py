@@ -327,6 +327,54 @@ def make_discover_fn(max_texts: int = 128):
 
 
 # ---------------------------------------------------------------------------
+# Keyword-contamination guard (standalone flag form)
+# ---------------------------------------------------------------------------
+
+
+def keyword_guard_pattern(
+    field: str, all_fields: Iterable[str], anchors: Optional[dict] = None
+):
+    """Compiled word-boundary, case-insensitive pattern matching any OTHER
+    field's keyword — the reference's ``_validate_no_other_keywords``
+    (src/rule.py:415-467; defined but disabled at :235-241). Keywords are
+    the sibling's schema name (raw and space-joined) AND its rendered
+    anchor: the boundary lookahead already stops captures at sibling
+    anchors, so the contamination this catches is a sibling's *name*
+    appearing as content inside a value (e.g. anchors discovered under
+    different printed labels). Returns None when the field has no
+    siblings."""
+    kws = set()
+    for f in all_fields:
+        if f == field:
+            continue
+        kws.add(re.escape(_anchor_for(f, anchors)))
+        kws.add(re.escape(f))
+        kws.add(re.escape(f.replace("_", " ")))
+    others = sorted(kws, key=len, reverse=True)
+    if not others:
+        return None
+    return compile_cached(rf"(?i)\b(?:{'|'.join(others)})\b", 0)
+
+
+def validate_no_other_keywords(
+    value: Optional[str],
+    field: str,
+    all_fields: Iterable[str],
+    anchors: Optional[dict] = None,
+) -> bool:
+    """True iff ``value`` contains no other field's keyword. Standalone,
+    default-OFF validation predicate (PipelineConfig.keyword_guard) — the
+    always-on protection is the negative lookahead baked into mined
+    validation regexes below; this flag additionally rejects contaminated
+    slow-path example values before shape induction, matching what the
+    reference's disabled check would have done."""
+    if not value:
+        return True
+    pat = keyword_guard_pattern(field, all_fields, anchors)
+    return pat is None or pat.search(value) is None
+
+
+# ---------------------------------------------------------------------------
 # Value-shape induction
 # ---------------------------------------------------------------------------
 
@@ -402,10 +450,13 @@ def mine_field_rules(
     min_pass_rate: float = 0.9,
     max_examples: int = 64,
     anchors: Optional[dict] = None,
+    keyword_guard: bool = False,
 ) -> list[MinedRule]:
     """Mine up to two rules (value + null) for one (label, field) group.
     ``anchors`` maps field -> discovered rendered label for this label
-    (:func:`discover_label_anchors`); absent fields use the default."""
+    (:func:`discover_label_anchors`); absent fields use the default.
+    ``keyword_guard``: additionally drop slow-path example values containing
+    another field's keyword (reference's disabled check; default off)."""
     texts = [t for t in texts if t][:max_examples]
     if not texts:
         return []
@@ -417,6 +468,10 @@ def mine_field_rules(
     for t in texts:
         v = direct_extract_value(t, field, all_fields, anchors)
         if v is not None:
+            if keyword_guard and not validate_no_other_keywords(
+                v, field, all_fields, anchors
+            ):
+                continue
             examples.append((t, v))
     if not examples:
         return []
@@ -461,6 +516,7 @@ def make_miner_fn(
     min_pass_rate: float = 0.9,
     max_examples: int = 64,
     anchors: Optional[dict] = None,
+    keyword_guard: bool = False,
 ):
     """Grouped applyInPandas body: one (label, field) group in, zero or more
     mined-rule rows out. Group payload columns: doc_id, label, field,
@@ -493,6 +549,7 @@ def make_miner_fn(
             min_pass_rate=min_pass_rate,
             max_examples=max_examples,
             anchors=label_anchors,
+            keyword_guard=keyword_guard,
         )
         return pd.DataFrame(
             [

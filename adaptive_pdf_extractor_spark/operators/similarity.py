@@ -84,6 +84,43 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def lsh_table_buckets_np(tables: list[list[list[float]]]):
+    """Arrow-batched multi-table bucket assignment: embedding in, one
+    bucket id per hyperplane table out (array<bigint>), computed as a
+    single numpy matmul per batch (rows x dim @ dim x total_planes) —
+    replaces n_tables x n_planes interpreted dot-product folds per row
+    (the interpreted-lambda anti-pattern; corpus-sized input)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    n_tables = len(tables)
+    n_planes = len(tables[0]) if tables else 0
+    # dim x (tables*planes), column-blocked per table
+    mat = np.array(
+        [plane for table in tables for plane in table], dtype=np.float64
+    ).T
+    weights = np.left_shift(
+        np.int64(1), np.arange(n_planes, dtype=np.int64)
+    )
+
+    def buckets(vecs):
+        out = []
+        for start in range(0, len(vecs), 4096):
+            chunk = vecs.iloc[start : start + 4096]
+            m = np.array([list(v) for v in chunk], dtype=np.float64)
+            if len(m) == 0:
+                continue
+            signs = (m @ mat) >= 0  # rows x (tables*planes)
+            bits = signs.reshape(len(m), n_tables, n_planes).astype(np.int64)
+            bk = (bits * weights[None, None, :]).sum(axis=2)  # rows x tables
+            out.extend(bk.tolist())
+        return pd.Series(out)
+
+    buckets.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf("array<bigint>")(buckets)
+
+
 def lsh_bucket_expr(vec_col: Column, planes: list[list[float]]) -> Column:
     """Bucket id = bits of sign(v . h_p)."""
     bits = []
@@ -108,16 +145,24 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors sharing the query's hyperplane
-    bucket. Recall < 1 by construction (use multi-probe / fewer planes to
-    trade cost for recall); the brute-force operator is the verifier."""
+    """Approximate top-k: score only vectors in the query's hyperplane
+    bucket plus the ``n_probes - 1`` nearest neighbor buckets (multi-probe:
+    flip the sign bits with the smallest |query margin| — the planes a true
+    neighbor most likely lands on the other side of). n_probes=1 is the
+    single-bucket classic; raising it trades candidate volume for recall
+    without re-hashing. The brute-force operator is the verifier."""
     planes = hyperplanes(len(query_vec), n_planes, seed)
     qdot = [sum(q * h for q, h in zip(query_vec, plane)) for plane in planes]
     qbucket = sum((1 << p) for p, d in enumerate(qdot) if d >= 0)
+    by_margin = sorted(range(n_planes), key=lambda p: abs(qdot[p]))
+    probes = [qbucket] + [
+        qbucket ^ (1 << p) for p in by_margin[: max(0, n_probes - 1)]
+    ]
     bucketed = df.withColumn("_bucket", lsh_bucket_expr(F.col(vec_col), planes))
     return brute_force_topk(
-        bucketed.filter(F.col("_bucket") == qbucket), id_col, vec_col, query_vec, k
+        bucketed.filter(F.col("_bucket").isin(probes)), id_col, vec_col, query_vec, k
     )
 
 
@@ -269,19 +314,11 @@ def embedding_neardup_pairs(
     if n_planes > 0:
         if dim is None:
             dim = len(base.first()["vec"])
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tab"),
-                    lsh_bucket_expr(
-                        F.col("vec"), hyperplanes(dim, n_planes, seed + 101 * t)
-                    ).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
+        bucket_udf = lsh_table_buckets_np(
+            [hyperplanes(dim, n_planes, seed + 101 * t) for t in range(n_tables)]
         )
-        buck = base.select("id", F.explode(tables).alias("tb")).select(
-            "id", "tb.tab", "tb.bucket"
+        buck = base.select(
+            "id", F.posexplode(bucket_udf(F.col("vec"))).alias("tab", "bucket")
         )
         cand = (
             buck.alias("x")

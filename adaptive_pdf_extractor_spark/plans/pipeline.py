@@ -68,6 +68,12 @@ class PipelineConfig:
     # manifest so resumed runs replay identically.
     discover_anchors: bool = True
     anchor_sample_per_label: int = 128
+    # Standalone keyword-contamination guard (miner.validate_no_other_keywords):
+    # drop slow-path example values containing another field's keyword before
+    # shape induction. Default OFF to match the reference, which defines the
+    # check but leaves it disabled (src/rule.py:415-467, :235-241); the
+    # always-on negative lookahead in mined validation regexes is separate.
+    keyword_guard: bool = False
     # Main-content pre-stage: strip corpus-frequency boilerplate lines from
     # text spans before extraction (operators.layout.boilerplate_strip).
     # Off by default: the reference parity corpora are boilerplate-free and
@@ -243,6 +249,7 @@ class ExtractionPipeline:
                 min_pass_rate=cfg.min_pass_rate,
                 max_examples=cfg.max_examples_per_group,
                 anchors=self._anchor_map(),
+                keyword_guard=cfg.keyword_guard,
             ),
             schema=MINED_DDL,
         )

@@ -120,6 +120,27 @@ def stateful_label_hit_rate(extracted: DataFrame) -> DataFrame:
     )
 
 
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_expr: str = "concat_ws('', transform(spans, s -> coalesce(s.text, '')))",
+    ts_col: str = "ingest_ts",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Watermarked streaming exact dedup: first-seen wins per content
+    fingerprint (the streaming twin of operators.dedup.exact_dedup_keep).
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state store by event
+    time — the only formulation that survives an unbounded stream; a plain
+    dropDuplicates would grow state forever. Documents whose normalized
+    text hashes equal within the watermark horizon emit once."""
+    fp = F.xxhash64(F.lower(F.regexp_replace(F.trim(F.expr(text_expr)), r"\s+", " ")))
+    with_fp = docs.withColumn("_fp", fp).withColumn(ts_col, F.current_timestamp())
+    return (
+        with_fp.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )
+
+
 def file_stream_source(
     spark: SparkSession, path: str, max_files_per_trigger: Optional[int] = None
 ) -> DataFrame:

@@ -211,3 +211,40 @@ def test_embedding_neardup_lsh_matches_exact(spark):
     assert planted, "planted dups must clear the exact threshold"
     recall = len(set(lsh) & planted) / len(planted)
     assert recall >= 0.9, f"planted recall {recall:.2f}"
+
+
+def test_lsh_topk_multiprobe_recall_dominates_single(vectors):
+    """Multi-probe recall@k vs brute force is monotonically >= single-probe
+    (probing more buckets only adds candidates), and with all 2^planes
+    buckets probed it equals brute force exactly."""
+    q = [r for r in vectors.collect() if r["vec_id"] == 3][0]["embedding"]
+    brute = [
+        r["id"]
+        for r in similarity.brute_force_topk(
+            vectors, "vec_id", "embedding", list(q), k=10
+        ).collect()
+    ]
+
+    def recall(n_probes):
+        got = {
+            r["id"]
+            for r in similarity.lsh_topk(
+                vectors, "vec_id", "embedding", list(q),
+                k=10, n_planes=4, n_probes=n_probes,
+            ).collect()
+        }
+        return len(got & set(brute)) / len(brute)
+
+    r1, r3, r5 = recall(1), recall(3), recall(5)
+    assert r1 <= r3 <= r5
+    assert r3 >= r1  # multi-probe never loses candidates
+    # probing every bucket = brute force (5 probes of 4 planes isn't all 16;
+    # use the exhaustive bound explicitly)
+    full = {
+        r["id"]
+        for r in similarity.lsh_topk(
+            vectors, "vec_id", "embedding", list(q),
+            k=10, n_planes=1, n_probes=2,  # 2 probes of 1 plane = everything
+        ).collect()
+    }
+    assert full == set(brute)

@@ -209,3 +209,45 @@ def test_pipeline_weights_reorder(spark, tmp_path):
         kinds = {("null" if r["validation_regex"] == "^$" else "value"): r for r in rl}
         if {"value", "null"} <= kinds.keys():
             assert kinds["value"]["weight"] > kinds["null"]["weight"], fname
+
+
+def test_keyword_guard_predicate():
+    """Standalone form of the reference's disabled _validate_no_other_keywords
+    (src/rule.py:415-467): word-boundary, case-insensitive rejection of
+    values containing another field's keyword."""
+    assert miner.validate_no_other_keywords("João da Silva", "nome", FIELDS)
+    # value swallowed the next field's label -> contaminated
+    assert not miner.validate_no_other_keywords("João Inscricao", "nome", FIELDS)
+    assert not miner.validate_no_other_keywords("joão INSCRICAO x", "nome", FIELDS)
+    # substring inside a word is NOT a word-boundary hit
+    assert miner.validate_no_other_keywords("Reinscricaoz", "nome", FIELDS)
+    assert miner.validate_no_other_keywords("", "nome", FIELDS)
+    assert miner.validate_no_other_keywords(None, "nome", FIELDS)
+    # discovered anchors participate
+    assert not miner.validate_no_other_keywords(
+        "x Registro Geral y", "nome", ["nome", "campo"], {"campo": "Registro Geral"}
+    )
+
+
+def test_keyword_guard_drops_contaminated_examples():
+    """With the guard ON, slow-path example values containing a sibling
+    field's NAME are dropped before shape induction (the boundary lookahead
+    already stops captures at sibling anchors, so the name-as-content case
+    is the one the flag adds); OFF (the default) mines them as-is."""
+    # sibling `ref` is printed under a discovered anchor "Reference Number",
+    # so codigo's capture (which stops at sibling ANCHORS) legitimately
+    # contains the word "ref" as content.
+    anchors = {"codigo": "Codigo", "ref": "Reference Number", "fim": "Fim"}
+    fields = ["codigo", "ref", "fim"]
+    texts = [
+        f"Codigo abc ref {i} Reference Number {70 + i} Fim {i}"
+        for i in range(8)
+    ]
+    mined_off = miner.mine_field_rules(
+        "l", "codigo", fields, texts, anchors=anchors, keyword_guard=False
+    )
+    mined_on = miner.mine_field_rules(
+        "l", "codigo", fields, texts, anchors=anchors, keyword_guard=True
+    )
+    assert any(m.kind == "value" for m in mined_off)
+    assert not any(m.kind == "value" for m in mined_on)

@@ -78,3 +78,14 @@ def test_extraction_is_shuffle_free(spark):
     assert "Exchange" not in plan_no_repart, plan_no_repart
     plan_repart = _executed(extract_documents(salted_repartition(docs, 4), book))
     assert plan_repart.count("Exchange hashpartitioning") == 1
+
+
+def test_embedding_neardup_lsh_no_cartesian(spark):
+    """The bucketed near-dup path must join on (table, bucket) — never a
+    cartesian product (the exact path's crossJoin is the quadratic oracle,
+    not the scale path)."""
+    plan = _executed(entry_mod.q_embedding_neardup_lsh(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # and the exact path IS the declared quadratic oracle
+    exact = _executed(entry_mod.q_embedding_neardup(spark, SF))
+    assert "CartesianProduct" in exact or "BroadcastNestedLoop" in exact

@@ -119,3 +119,32 @@ def test_windowed_metrics_stream(spark, rulebook, tmp_path):
     rows = spark.sql("SELECT * FROM stream_metrics_c").collect()
     assert sum(r["docs"] for r in rows) == 120
     assert all(r["rule_hits"] is not None for r in rows)
+
+
+def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
+    """Watermarked streaming exact dedup: duplicated content across
+    micro-batches emits once; distinct content all passes."""
+    docs = spark_io.synthetic_corpus_df(spark, seed=41, count=60, partitions=2)
+    # duplicate the first 60 docs under new ids (identical span text)
+    dups = docs.withColumn("doc_id", F.concat(F.lit("dup/"), F.col("doc_id")))
+    src = str(tmp_path / "landing4")
+    docs.write.parquet(src)
+    dups.write.mode("append").parquet(src)
+
+    stream = ingest.file_stream_source(spark, src, max_files_per_trigger=1)
+    deduped = ingest.streaming_exact_dedup(stream)
+    q = (
+        deduped.select("doc_id")
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id FROM stream_dedup").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == 60, f"expected one emission per distinct content, got {len(ids)}"
+    # exactly one of (original, dup/original) per content
+    bases = {i.removeprefix("dup/") for i in ids}
+    assert len(bases) == 60
