@@ -244,3 +244,55 @@ def test_pipeline_learns_arbitrary_labels_with_ground_truth(spark, tmp_path):
     by_key = {(k[1]): a for k, a in pipe.anchors.items()}
     assert by_key["campo_um"]["anchor"] == "Registro Geral"
     assert by_key["campo_um"]["source"] == "expected"
+
+
+# ---------------------------------------------------------------------------
+# Property test: anchor discovery over randomized templates (pure function,
+# no Spark) — planted labels must be recovered whichever evidence path fires.
+# ---------------------------------------------------------------------------
+
+_PROP_WORDS = ["registro", "emissao", "codigo", "orgao", "validade",
+               "titular", "protocolo", "unidade", "classe", "lote"]
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_discover_anchors_property_random_templates(seed):
+    """Random 3-5 field templates, labels = random word pairs unrelated to
+    the (field_i) schema names, fully-varying digit values, ground truth
+    available: the expected path must recover every printed label whose
+    field had at least 3 value examples."""
+    rng = corpus_mod._Rng(5000 + seed)
+    n_fields = 3 + rng.randint(0, 2)
+    labels = []
+    used = set()
+    while len(labels) < n_fields:
+        lab = f"{rng.choice(_PROP_WORDS).title()} {rng.choice(_PROP_WORDS).title()}"
+        if lab not in used and not any(
+            set(lab.split()) & set(u.split()) for u in used
+        ):
+            used.add(lab)
+            labels.append(lab)
+    fields = [f"field_{i}" for i in range(n_fields)]
+    texts, exps = [], []
+    counts = {f: 0 for f in fields}
+    for d in range(40):
+        parts, exp = [], {}
+        for f, lab in zip(fields, labels):
+            if rng.random() < 0.75:
+                v = str(rng.randint(10**6, 10**9))
+                exp[f] = v
+                counts[f] += 1
+                parts.append(f"{lab} {v}")
+            else:
+                exp[f] = None
+                parts.append(lab)
+        texts.append(" ".join(parts))
+        exps.append(exp)
+    rows = miner_mod.discover_label_anchors(fields, {}, texts, exps)
+    by_field = {r["field"]: r for r in rows}
+    for f, lab in zip(fields, labels):
+        if counts[f] >= 3:
+            assert by_field[f]["anchor"] == lab, (
+                f"seed {seed}: field {f} expected anchor {lab!r}, "
+                f"got {by_field[f]['anchor']!r} ({by_field[f]['source']})"
+            )
