@@ -257,6 +257,32 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=5, threshold=0.25)
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard pair graph of the
+    planted-dup corpus: (doc_id, canonical_id = min id in component,
+    cluster_size). Oracle: recursive-CTE transitive closure in DuckDB."""
+    docs = _planted_dups(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=5, threshold=0.8
+    )
+    return dedup.neardup_clusters(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    )
+
+
+def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: top-10 neighbors (vec_id >= 5) of each of the first
+    five query vectors, one corpus scan."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.knn_join(
+        e.filter(F.col("vec_id") >= 5),
+        e.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        k=10,
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -366,6 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_neardup": q_minhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
+        "neardup_clusters": q_neardup_clusters,
+        "embedding_knn_join": q_embedding_knn_join,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -476,6 +504,35 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}
 """
 )
 
+# Connected components as a recursive transitive closure: reach(id, lab)
+# grows the set of (node, reachable-node) facts until fixpoint (UNION
+# dedups, so it terminates); min(lab) per id = min id in the component —
+# the same answer the Spark side's min-label propagation converges to.
+_SQL_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _SQL_SHINGLES_CTE
+    + """,
+pairs AS (
+    SELECT id_a, id_b FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}
+),
+nodes AS (SELECT doc_id AS id FROM {src}),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(id, lab) AS (
+    SELECT id, id FROM nodes
+    UNION
+    SELECT e.dst AS id, reach.lab FROM reach JOIN e ON e.src = reach.id
+),
+comp AS (SELECT id AS doc_id, min(lab) AS canonical_id FROM reach GROUP BY id)
+SELECT doc_id, canonical_id,
+       count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+FROM comp
+"""
+)
+
 
 def oracle_sql() -> dict[str, str]:
     planted = (
@@ -575,6 +632,27 @@ def oracle_sql() -> dict[str, str]:
             src="(SELECT doc_id, text FROM documents WHERE doc_id < 100)",
             threshold=0.25,
         ),
+        "neardup_clusters": _SQL_CLUSTERS.format(
+            src=f"({planted})", threshold=0.8
+        ),
+        "embedding_knn_join": """
+            SELECT query_id, neighbor_id, rk, round(cos, 6) AS cosine
+            FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_cosine_similarity(
+                           c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                               c.vec_id ASC
+                       ) AS rk
+                FROM embeddings c
+                CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                            WHERE vec_id < 5) q
+                WHERE c.vec_id >= 5
+            ) WHERE rk <= 10
+        """,
         "embedding_topk": """
             SELECT vec_id AS id,
                    round(list_cosine_similarity(

@@ -380,6 +380,80 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+
+def neardup_clusters(
+    ids: DataFrame, pairs: DataFrame, max_iterations: int = 12
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: each node gets
+    ``canonical_id`` = min id in its component (plus the component size) —
+    the step after pair detection in every dedup pipeline (keep one doc per
+    duplicate CLUSTER, not per pair: pairs (a,b),(b,c) must collapse to one
+    keeper even though (a,c) was never emitted).
+
+    Iterative min-label propagation over the symmetrized edge list,
+    converging in <= component-diameter rounds (near-dup components are
+    shallow stars/cliques in practice; capped at ``max_iterations`` with a
+    convergence check per round). Scale shape: every round is one shuffle
+    of the EDGE list (the candidate pairs — tiny relative to the corpus)
+    joined to the current labels; nothing corpus-sized iterates.
+
+    ids: one column ``id``; pairs: columns ``id_a``, ``id_b``.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = ids.select(F.col("id"), F.col("id").alias("lab")).persist()
+    try:
+        for _ in range(max_iterations):
+            nbr = (
+                edges.join(
+                    labels.select(F.col("id").alias("src"), "lab"), "src"
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("lab").alias("nlab"))
+            )
+            new_labels = (
+                labels.join(nbr, "id", "left")
+                .select(
+                    "id",
+                    F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.lab") != F.col("o.lab"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        from pyspark.sql.window import Window
+
+        # truncate the per-round join lineage and release the caches the
+        # loop accumulated (labels is small: two columns, one row per node)
+        final = labels.localCheckpoint(eager=True)
+        return final.select(
+            F.col("id").alias("doc_id"), F.col("lab").alias("canonical_id")
+        ).withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("canonical_id")),
+        )
+    finally:
+        labels.unpersist()
+        edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard brute force (the exact oracle)
 # ---------------------------------------------------------------------------
 

@@ -276,6 +276,53 @@ def ivf_topk(
     return brute_force_topk(probed, id_col, vec_col, query_vec, k)
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Batch k-NN join: the exact top-k corpus neighbors of EVERY query
+    vector in one job (query set broadcast — one corpus scan regardless of
+    query count; per-pair cosine; row_number window per query with a
+    deterministic id tiebreak).
+
+    Scale note: the window shuffles (query_id, neighbor_id, cosine) — 24
+    bytes x |corpus| x |queries| — fine for batch scoring with a bounded
+    query set; for large query batches over a huge corpus, pre-prune with
+    the IVF/LSH bucketed operators and k-NN-join only within probed
+    buckets."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    cos = _dot(F.col("cvec"), F.col("qvec")) / (
+        _norm(F.col("cvec")) * _norm(F.col("qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("_cos", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rk",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -248,3 +248,60 @@ def test_lsh_topk_multiprobe_recall_dominates_single(vectors):
         ).collect()
     }
     assert full == set(brute)
+
+
+def test_neardup_clusters_transitive(spark):
+    """Pairs (a,b),(b,c) must collapse into ONE cluster with canonical=min,
+    even though (a,c) was never emitted; singletons stay their own cluster."""
+    ids = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (5, 7), (2, 4)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in dedup.neardup_clusters(ids, pairs).collect()
+    }
+    # chain 1-3-5-7 (diameter 3 -> exercises >1 propagation round)
+    for i in (1, 3, 5, 7):
+        assert got[i] == (1, 4)
+    for i in (2, 4):
+        assert got[i] == (2, 2)
+    for i in (0, 6):
+        assert got[i] == (i, 1)
+
+
+def test_neardup_clusters_on_planted_corpus(corpus):
+    """Planted exact dups form 2-clusters; the canonical keeps the min id."""
+    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", threshold=0.8)
+    ids = corpus.select(F.col("doc_id").alias("id"))
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+        for r in dedup.neardup_clusters(ids, pairs).collect()
+    }
+    for i in range(5):
+        assert got[100 + i] == (i, 2) and got[i] == (i, 2)
+
+
+def test_knn_join_matches_per_query_brute_force(vectors):
+    """knn_join's per-query rankings equal independent brute_force_topk
+    runs (same cosine, same deterministic tiebreak)."""
+    queries = vectors.filter(F.col("vec_id").isin([3, 7]))
+    corpus = vectors.filter(~F.col("vec_id").isin([3, 7]))
+    joined = similarity.knn_join(corpus, queries, "vec_id", "embedding", k=5)
+    got = {}
+    for r in joined.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rk"], r["neighbor_id"], r["cosine"])
+        )
+    for qid in (3, 7):
+        qvec = [
+            float(x)
+            for x in vectors.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        brute = similarity.brute_force_topk(
+            corpus, "vec_id", "embedding", qvec, k=5
+        ).collect()
+        expect = [
+            (i + 1, r["id"], r["cosine"]) for i, r in enumerate(brute)
+        ]
+        assert sorted(got[qid]) == expect, qid
