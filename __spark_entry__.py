@@ -283,6 +283,33 @@ def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation over the planted-dup corpus:
+    quality gate -> exact dedup (min-id keeper per fingerprint) -> near-dup
+    clustering -> keep cluster canonicals -> per-doc token stats. The
+    composition a 100 TB data-prep pipeline runs, verified as ONE oracled
+    query (quality + md5 groupBy + recursive-CTE components in DuckDB)."""
+    docs = _planted_dups(spark, sf_dir)
+    scored = docs.withColumn("quality", T.quality_score(F.col("text")))
+    kept = scored.filter(F.col("quality") >= 0.5)
+    kept = dedup.exact_dedup_keep(kept, "doc_id", "text")
+    pairs = dedup.ngram_jaccard_pairs(
+        kept, "doc_id", "text", shingle_n=5, threshold=0.8
+    )
+    clusters = dedup.neardup_clusters(
+        kept.select(F.col("doc_id").alias("id")), pairs
+    )
+    canon = clusters.filter(
+        F.col("doc_id") == F.col("canonical_id")
+    ).select("doc_id", "cluster_size")
+    return kept.join(canon, "doc_id").select(
+        "doc_id",
+        "cluster_size",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        "quality",
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -393,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
+        "corpus_curation": q_corpus_curation,
         "embedding_knn_join": q_embedding_knn_join,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -634,6 +662,44 @@ def oracle_sql() -> dict[str, str]:
         ),
         "neardup_clusters": _SQL_CLUSTERS.format(
             src=f"({planted})", threshold=0.8
+        ),
+        "corpus_curation": (
+            "WITH RECURSIVE "
+            + f"""
+scored AS (SELECT doc_id, text, {_sql_quality()} AS quality
+           FROM ({planted})),
+qgate AS (SELECT * FROM scored WHERE quality >= 0.5),
+fpg AS (SELECT {_SQL_FINGERPRINT} AS fp, min(doc_id) AS keep
+        FROM qgate GROUP BY 1),
+kept AS (SELECT q.* FROM qgate q JOIN fpg ON q.doc_id = fpg.keep),
+"""
+            + _SQL_SHINGLES_CTE.format(src="kept").lstrip()
+            + """,
+pairs AS (
+    SELECT id_a, id_b FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(id, lab) AS (
+    SELECT doc_id, doc_id FROM kept
+    UNION
+    SELECT e.dst AS id, reach.lab FROM reach JOIN e ON e.src = reach.id
+),
+comp AS (SELECT id AS doc_id, min(lab) AS canonical_id FROM reach GROUP BY id),
+sized AS (SELECT doc_id, canonical_id,
+                 count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+          FROM comp),
+canon AS (SELECT doc_id, cluster_size FROM sized WHERE doc_id = canonical_id)
+"""
+            + f"""
+SELECT k.doc_id, canon.cluster_size,
+       CAST({_sql_token_count('k.text')} AS BIGINT) AS n_tokens,
+       k.quality
+FROM kept k JOIN canon ON k.doc_id = canon.doc_id
+"""
         ),
         "embedding_knn_join": """
             SELECT query_id, neighbor_id, rk, round(cos, 6) AS cosine

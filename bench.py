@@ -97,6 +97,8 @@ def main() -> None:
         "exact_dedup",
         "embedding_topk",
         "embedding_neardup",
+        "corpus_curation",
+        "embedding_knn_join",
     ]:
         timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
 
