@@ -411,6 +411,7 @@ def neardup_clusters(
     )
     labels = ids.select(F.col("id"), F.col("id").alias("lab")).persist()
     try:
+        converged = False
         for _ in range(max_iterations):
             nbr = (
                 edges.join(
@@ -436,7 +437,17 @@ def neardup_clusters(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # Returning the partial labels would silently split one real
+            # component into several (wrong canonical_id AND cluster_size);
+            # long chains (diameter > max_iterations) must fail loudly.
+            raise RuntimeError(
+                f"neardup_clusters did not converge in {max_iterations} "
+                "rounds — a component's diameter exceeds the cap; raise "
+                "max_iterations (rounds needed = graph diameter)"
+            )
         from pyspark.sql.window import Window
 
         # truncate the per-round join lineage and release the caches the

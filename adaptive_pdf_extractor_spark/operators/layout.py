@@ -270,13 +270,22 @@ def boilerplate_strip(
     totals [broadcast: #sources is small] -> frequent set joined back as a
     left-anti on exploded lines -> re-assemble text. Adds a
     ``<text_col>_clean`` column; other columns pass through."""
-    doc_totals = docs.groupBy(source_col).agg(F.count("*").alias("_n_docs"))
-
-    # row id assigned ONCE, before any explode: it keys both the
-    # per-document distinct in the frequency count and the re-assembly
-    # (grouping by all doc columns instead would collapse identical rows
-    # and silently drop documents whose every line is boilerplate).
-    with_rid = docs.withColumn("_rid", F.monotonically_increasing_id())
+    # Content-derived row key: keys both the per-document distinct in the
+    # frequency count and the re-assembly. Content (not
+    # monotonically_increasing_id) because the key column is evaluated in
+    # two independent plan branches — a nondeterministic id could differ
+    # between them under task retry / shuffle reordering and attach one
+    # doc's cleaned text to another. Rows identical in (source, text) share
+    # a key AND a cleaned result; the final left-join fans that result back
+    # to every copy, so duplicates survive as duplicates. Document
+    # frequency therefore counts identical documents ONCE (exact-dup spam
+    # cannot vote its own content into "boilerplate").
+    with_rid = docs.withColumn(
+        "_rid", F.xxhash64(F.col(source_col), F.col(text_col))
+    )
+    doc_totals = with_rid.groupBy(source_col).agg(
+        F.countDistinct("_rid").alias("_n_docs")
+    )
     lines = with_rid.select(
         F.col(source_col).alias("_src"),
         "_rid",
@@ -306,6 +315,12 @@ def boilerplate_strip(
     cleaned = (
         lines.withColumn("_fp", F.xxhash64(F.trim("_line")))
         .join(F.broadcast(freq), ["_src", "_fp"], "left_anti")
+        # identical rows share a _rid and exploded their lines once EACH;
+        # (_rid, _pos) distinct re-assembles the document once (a repeated
+        # line at different positions within one doc survives — positions
+        # differ)
+        .select("_rid", "_pos", "_line")
+        .distinct()
         .groupBy("_rid")
         .agg(
             F.concat_ws(

@@ -205,10 +205,22 @@ def discover_label_anchors(
     {"expected", "similarity", "default"}. Fully deterministic: all ties
     break on (token count desc, length desc, lexicographic).
     """
-    texts = [t for t in texts if t]
+    # filter empty texts TOGETHER with their expected maps (zipping a
+    # filtered text list against the unfiltered maps would misalign every
+    # document after the first empty one — e.g. an undecoded PDF)
+    paired = [
+        (t, m) for t, m in zip(texts, expected_maps) if t
+    ]
+    texts = [t for t, _ in paired]
+    expected_maps = [m for _, m in paired]
     result: dict[str, tuple[str, str, float]] = {}
 
     # -- expected-value evidence --------------------------------------------
+    # Per field: an ORDERED candidate list (best first). Assignment happens
+    # globally afterwards so two fields can never claim identical or nested
+    # anchors (which would put each field's anchor inside the other's
+    # boundary lookahead and truncate both captures to null).
+    exp_candidates: dict[str, list[tuple[str, float]]] = {}
     for f in fields:
         cands: Counter = Counter()
         n_ex = 0
@@ -241,9 +253,23 @@ def discover_label_anchors(
         best = max(cands.values())
         if best < max(2, n_ex // 2) and n_ex > 1:
             continue  # no stable preceding label across examples
-        eligible = [c for c, k in cands.items() if k >= 0.95 * best]
-        anchor = sorted(eligible, key=lambda c: (-len(c.split()), -len(c), c))[0]
-        result[f] = (anchor, "expected", best / n_ex if n_ex else 0.0)
+        eligible = sorted(
+            (c for c, k in cands.items() if k >= 0.95 * best),
+            key=lambda c: (-len(c.split()), -len(c), c),
+        )
+        score = best / n_ex if n_ex else 0.0
+        exp_candidates[f] = [(c, score) for c in eligible]
+
+    taken: set[str] = set()
+    for f in sorted(
+        exp_candidates, key=lambda f: (-exp_candidates[f][0][1], f)
+    ):
+        for anchor, score in exp_candidates[f]:
+            if not _gram_conflicts(anchor, taken):
+                result[f] = (anchor, "expected", score)
+                taken.add(anchor)
+                break
+        # no conflict-free candidate -> fall through to similarity/default
 
     # -- constant-n-gram + lexical-similarity evidence ------------------------
     need = [f for f in fields if f not in result]

@@ -104,17 +104,33 @@ def lsh_table_buckets_np(tables: list[list[list[float]]]):
         np.int64(1), np.arange(n_planes, dtype=np.int64)
     )
 
+    dim = mat.shape[0]
+
     def buckets(vecs):
         out = []
         for start in range(0, len(vecs), 4096):
-            chunk = vecs.iloc[start : start + 4096]
-            m = np.array([list(v) for v in chunk], dtype=np.float64)
-            if len(m) == 0:
-                continue
-            signs = (m @ mat) >= 0  # rows x (tables*planes)
-            bits = signs.reshape(len(m), n_tables, n_planes).astype(np.int64)
-            bk = (bits * weights[None, None, :]).sum(axis=2)  # rows x tables
-            out.extend(bk.tolist())
+            chunk = list(vecs.iloc[start : start + 4096])
+            # null / wrong-dimension vectors get a null bucket array (the
+            # downstream posexplode drops them — matching the exact path,
+            # where such rows fall out via a null cosine) instead of
+            # crashing the whole batch in the matmul.
+            valid = [
+                i for i, v in enumerate(chunk)
+                if v is not None and len(v) == dim
+            ]
+            res: list = [None] * len(chunk)
+            if valid:
+                m = np.array(
+                    [list(chunk[i]) for i in valid], dtype=np.float64
+                )
+                signs = (m @ mat) >= 0  # rows x (tables*planes)
+                bits = signs.reshape(len(m), n_tables, n_planes).astype(
+                    np.int64
+                )
+                bk = (bits * weights[None, None, :]).sum(axis=2)
+                for j, i in enumerate(valid):
+                    res[i] = bk[j].tolist()
+            out.extend(res)
         return pd.Series(out)
 
     buckets.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
@@ -187,21 +203,30 @@ def train_ivf_centroids(
     import numpy as np
     from pyspark.sql import functions as F
 
-    # Bernoulli sample + limit instead of orderBy(hash).limit: the global
-    # TakeOrderedAndProject kept k x partitions candidates in the driver
-    # merge; sample() is embarrassingly parallel and limit() short-circuits
-    # the scan. Training runs once per corpus, so the count() here is a
+    # Content-hash sampling instead of orderBy(hash).limit or Bernoulli
+    # sample: pmod(xxhash64(vec), k) == 0 selects rows by their CONTENT, so
+    # the training set is identical at any partitioning/parallelism (a
+    # Bernoulli sample seeds per partition index; a bare limit() takes a
+    # partition-prefix-biased subset), and the filter is embarrassingly
+    # parallel — no global sort, no k-x-partitions driver merge. The
+    # driver-side stable sort below makes the final truncation order-
+    # independent too. Training runs once per corpus, so the count() is a
     # one-time column-pruned scan.
+    import hashlib
+
     n = df.count()
-    fraction = min(1.0, (4.0 * sample) / max(n, 1))
-    rows = (
-        df.select(vec_col)
-        .sample(fraction=fraction, seed=seed)
-        .limit(sample)
-        .collect()
+    k = max(1, n // (4 * sample))
+    key = F.pmod(
+        F.xxhash64(F.col(vec_col).cast("array<double>").cast("string")),
+        F.lit(k),
     )
-    if not rows:  # tiny corpus + unlucky sample: fall back to a full take
+    rows = df.select(vec_col).filter(key == 0).limit(8 * sample).collect()
+    if not rows:  # tiny corpus edge: take what exists
         rows = df.select(vec_col).limit(sample).collect()
+    rows.sort(
+        key=lambda r: hashlib.sha1(str(list(r[0])).encode("utf-8")).digest()
+    )
+    rows = rows[:sample]
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)
     x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
     rng_idx = [

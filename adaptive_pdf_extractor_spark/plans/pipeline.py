@@ -178,7 +178,13 @@ class ExtractionPipeline:
                 .alias("expected")
             )
         meta = docs.select(*meta_cols)
-        joined = meta.join(F.broadcast(sample), "doc_id")
+        # Broadcast only the sampled doc_ids (bytes/label-row), not the
+        # sample's norm_text payloads — at many-template scale the text
+        # side is GBs and F.broadcast bypasses the auto threshold. The
+        # second join is tiny-vs-tiny; AQE picks its strategy.
+        keys = sample.select("doc_id")
+        meta_small = meta.join(F.broadcast(keys), "doc_id")
+        joined = meta_small.join(sample, "doc_id")
         rows = (
             joined.groupBy("label")
             .applyInPandas(

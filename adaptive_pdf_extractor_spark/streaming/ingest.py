@@ -131,9 +131,15 @@ def streaming_exact_dedup(
     ``dropDuplicatesWithinWatermark`` bounds the dedup state store by event
     time — the only formulation that survives an unbounded stream; a plain
     dropDuplicates would grow state forever. Documents whose normalized
-    text hashes equal within the watermark horizon emit once."""
+    text hashes equal within the watermark horizon emit once.
+
+    If ``ts_col`` already exists it is used as-is (caller-supplied event
+    time drives the watermark); only absent columns get a processing-time
+    default."""
     fp = F.xxhash64(F.lower(F.regexp_replace(F.trim(F.expr(text_expr)), r"\s+", " ")))
-    with_fp = docs.withColumn("_fp", fp).withColumn(ts_col, F.current_timestamp())
+    with_fp = docs.withColumn("_fp", fp)
+    if ts_col not in docs.columns:
+        with_fp = with_fp.withColumn(ts_col, F.current_timestamp())
     return (
         with_fp.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["_fp"])

@@ -305,3 +305,48 @@ def test_knn_join_matches_per_query_brute_force(vectors):
             (i + 1, r["id"], r["cosine"]) for i, r in enumerate(brute)
         ]
         assert sorted(got[qid]) == expect, qid
+
+
+def test_neardup_clusters_raises_on_unconverged_chain(spark):
+    """A chain whose diameter exceeds max_iterations must fail loudly, not
+    return silently-split clusters."""
+    n = 8
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_clusters(ids, pairs, max_iterations=3)
+    # and with enough rounds the same chain converges to one cluster
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup.neardup_clusters(ids, pairs, max_iterations=12).collect()
+    }
+    assert set(got.values()) == {0}
+
+
+def test_embedding_neardup_lsh_null_and_ragged_vectors(spark):
+    """Null / wrong-dimension embeddings drop out of the bucketed path the
+    same way they drop out of the exact path (no executor crash)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(40):
+        v = rng.randn(16)
+        rows.append({"vec_id": i, "embedding": [float(x) for x in v]})
+        if i < 5:
+            rows.append(
+                {"vec_id": 1000 + i, "embedding": [float(x) for x in v + rng.randn(16) * 0.005]}
+            )
+    rows.append({"vec_id": 7777, "embedding": None})
+    rows.append({"vec_id": 8888, "embedding": [1.0, 2.0]})  # ragged
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_neardup_pairs(
+            df, "vec_id", "embedding", threshold=0.95, n_planes=8, n_tables=4
+        ).collect()
+    }
+    assert all(a not in (7777, 8888) and b not in (7777, 8888) for a, b in lsh)
+    assert len(lsh & {(i, 1000 + i) for i in range(5)}) >= 4

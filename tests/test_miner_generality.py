@@ -296,3 +296,34 @@ def test_discover_anchors_property_random_templates(seed):
                 f"seed {seed}: field {f} expected anchor {lab!r}, "
                 f"got {by_field[f]['anchor']!r} ({by_field[f]['source']})"
             )
+
+
+def test_discover_anchors_empty_text_alignment():
+    """An empty text in the sample (e.g. an undecoded PDF) must not shift
+    the (text, expected) pairing for the documents after it."""
+    texts, exps = [], []
+    texts.append("")  # head: undecoded doc
+    exps.append(None)
+    for i in range(10):
+        v = f"{4000 + i * 3}"
+        texts.append(f"Registro Geral {v} Fim")
+        exps.append({"campo": v})
+    rows = miner_mod.discover_label_anchors(["campo"], {}, texts, exps)
+    assert rows[0]["anchor"] == "Registro Geral"
+    assert rows[0]["source"] == "expected"
+
+
+def test_discover_anchors_identical_label_conflict():
+    """Two fields printed under the SAME label can't both claim it (each
+    anchor would sit inside the other's boundary lookahead and truncate
+    both captures): one field wins, the other falls back."""
+    texts, exps = [], []
+    for i in range(12):
+        v1, v2 = f"{1000 + i}", f"{9000 + i * 7}"
+        texts.append(f"Ref {v1} Meio Ref {v2} Fim")
+        exps.append({"alpha": v1, "beta": v2})
+    rows = miner_mod.discover_label_anchors(["alpha", "beta"], {}, texts, exps)
+    by_field = {r["field"]: r for r in rows}
+    anchors = [by_field["alpha"]["anchor"], by_field["beta"]["anchor"]]
+    assert anchors.count("Ref") <= 1
+    assert len(set(anchors)) == 2
