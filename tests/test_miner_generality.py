@@ -327,3 +327,38 @@ def test_discover_anchors_identical_label_conflict():
     anchors = [by_field["alpha"]["anchor"], by_field["beta"]["anchor"]]
     assert anchors.count("Ref") <= 1
     assert len(set(anchors)) == 2
+
+
+def test_anchor_resume_exactness(spark, tmp_path):
+    """Resume must reload DISCOVERED anchors from the manifest: on a corpus
+    whose printed labels differ from the schema names, an interrupted run
+    resumed in a fresh pipeline object produces the same accuracy and the
+    same anchors as an uninterrupted run (anchors feed both mining and the
+    final direct-extract fallback)."""
+    template = list(zip(_ARBITRARY_LABELS.keys(), _ARBITRARY_SHAPES))
+    docs = spark_io.input_df_from_rows(
+        spark,
+        _random_corpus(99, "res", template, 120, label_map=_ARBITRARY_LABELS),
+    )
+    # uninterrupted
+    pipe_a = ExtractionPipeline(
+        spark, str(tmp_path / "a"), PipelineConfig(max_rounds=3, num_partitions=4)
+    )
+    out_a = pipe_a.run(docs, initial_rules_rows=[], write_output=False)
+    acc_a = field_accuracy(out_a, docs)
+    # interrupted after round 0, resumed by a FRESH pipeline object
+    pipe_b0 = ExtractionPipeline(
+        spark, str(tmp_path / "b"), PipelineConfig(max_rounds=1, num_partitions=4)
+    )
+    pipe_b0.run(docs, initial_rules_rows=[], write_output=False)
+    assert pipe_b0.anchors, "round 0 must have discovered anchors"
+    pipe_b = ExtractionPipeline(
+        spark, str(tmp_path / "b"), PipelineConfig(max_rounds=3, num_partitions=4)
+    )
+    assert pipe_b.anchors == pipe_b0.anchors, "anchors must reload from manifest"
+    out_b = pipe_b.run(docs, initial_rules_rows=[], write_output=False)
+    acc_b = field_accuracy(out_b, docs)
+    assert acc_b.accuracy == acc_a.accuracy
+    assert {k: a["anchor"] for k, a in pipe_b.anchors.items()} == {
+        k: a["anchor"] for k, a in pipe_a.anchors.items()
+    }

@@ -251,3 +251,24 @@ def test_keyword_guard_drops_contaminated_examples():
     )
     assert any(m.kind == "value" for m in mined_off)
     assert not any(m.kind == "value" for m in mined_on)
+
+
+def test_pipeline_keyword_guard_on_clean_corpus(spark, tmp_path):
+    """keyword_guard=True must not hurt accuracy on a clean corpus (values
+    never contain sibling keywords there, so the guard is a no-op)."""
+    from adaptive_pdf_extractor_spark.plans.evaluate import field_accuracy
+    from adaptive_pdf_extractor_spark.plans.pipeline import (
+        ExtractionPipeline,
+        PipelineConfig,
+    )
+    from adaptive_pdf_extractor_spark.sources import spark_io
+
+    docs = spark_io.synthetic_corpus_df(spark, seed=61, count=300, partitions=4)
+    pipe = ExtractionPipeline(
+        spark,
+        str(tmp_path / "kg"),
+        PipelineConfig(max_rounds=3, num_partitions=4, keyword_guard=True),
+    )
+    out = pipe.run(docs, initial_rules_rows=[], write_output=False)
+    acc = field_accuracy(out, docs)
+    assert acc.accuracy > 0.98

@@ -89,3 +89,11 @@ def test_embedding_neardup_lsh_no_cartesian(spark):
     # and the exact path IS the declared quadratic oracle
     exact = _executed(entry_mod.q_embedding_neardup(spark, SF))
     assert "CartesianProduct" in exact or "BroadcastNestedLoop" in exact
+
+
+def test_knn_join_broadcasts_query_set(spark):
+    """The k-NN join must be a broadcast nested loop over the tiny query
+    set (one corpus scan), never a shuffle cartesian."""
+    plan = _executed(entry_mod.q_embedding_knn_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
