@@ -160,6 +160,14 @@ class ExtractionPipeline:
         need = extracted.filter(F.size("unresolved") > 0).select(
             "doc_id", "label", "norm_text"
         )
+        # Same hash pre-sample as the miner: without it, the per-label
+        # row_number window below shuffles EVERY unresolved row's norm_text
+        # (few labels -> skewed reducers at corpus scale); with it, only
+        # ~1/miner_sample_mod of them.
+        if cfg.miner_sample_mod > 1:
+            need = need.filter(
+                F.pmod(F.xxhash64("doc_id"), F.lit(cfg.miner_sample_mod)) == 0
+            )
         if covered:
             need = need.filter(~F.col("label").isin(covered))
         w = Window.partitionBy("label").orderBy(F.xxhash64("doc_id"), "doc_id")
