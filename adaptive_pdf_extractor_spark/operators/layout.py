@@ -280,8 +280,11 @@ def boilerplate_strip(
     # to every copy, so duplicates survive as duplicates. Document
     # frequency therefore counts identical documents ONCE (exact-dup spam
     # cannot vote its own content into "boilerplate").
+    # 128-bit key: a 64-bit hash colliding across ~10^9 docs (the scale this
+    # module targets) would silently merge two documents' line sets.
     with_rid = docs.withColumn(
-        "_rid", F.xxhash64(F.col(source_col), F.col(text_col))
+        "_rid",
+        F.md5(F.concat_ws(chr(0), F.col(source_col), F.col(text_col))),
     )
     doc_totals = with_rid.groupBy(source_col).agg(
         F.countDistinct("_rid").alias("_n_docs")

@@ -160,6 +160,18 @@ def _token_sim(field_tokens: list[str], gram_tokens: list[str]) -> float:
     return total / len(field_tokens)
 
 
+def _occurs(anchor: str, texts: list[str], min_frac: float = 0.3) -> bool:
+    """Anchor candidates are built from separator-stripped tokens, so a
+    multi-token candidate may not exist literally in any document (label
+    printed as "Nome - Completo" yields candidate "Nome Completo"). The
+    rule matcher anchors on the literal string — reject candidates that
+    don't actually occur in enough sample texts."""
+    if not texts:
+        return False
+    hits = sum(1 for t in texts if anchor in t)
+    return hits >= max(1, int(min_frac * len(texts)))
+
+
 def _gram_conflicts(gram: str, taken: set[str]) -> bool:
     g = f" {gram} "
     for t in taken:
@@ -217,9 +229,14 @@ def discover_label_anchors(
 
     # -- expected-value evidence --------------------------------------------
     # Per field: an ORDERED candidate list (best first). Assignment happens
-    # globally afterwards so two fields can never claim identical or nested
-    # anchors (which would put each field's anchor inside the other's
-    # boundary lookahead and truncate both captures to null).
+    # globally afterwards so no two DISCOVERED anchors are identical or
+    # nested (which would put each field's anchor inside the other's
+    # boundary lookahead and truncate both captures to null). Known
+    # limitation: a no-evidence field's title-cased DEFAULT can still nest
+    # with a discovered anchor (e.g. fields `nome` + `nome_completo` under
+    # prefix-shared labels); the mined-rule three-checks and the validation
+    # keyword lookahead are the safety net there — a contaminated rule
+    # fails validation rather than shipping.
     exp_candidates: dict[str, list[tuple[str, float]]] = {}
     for f in fields:
         cands: Counter = Counter()
@@ -265,7 +282,7 @@ def discover_label_anchors(
         exp_candidates, key=lambda f: (-exp_candidates[f][0][1], f)
     ):
         for anchor, score in exp_candidates[f]:
-            if not _gram_conflicts(anchor, taken):
+            if _occurs(anchor, texts) and not _gram_conflicts(anchor, taken):
                 result[f] = (anchor, "expected", score)
                 taken.add(anchor)
                 break
@@ -284,7 +301,11 @@ def discover_label_anchors(
             for g in grams:
                 df_counter[g] += 1
         min_df = min_const_frac * len(texts)
-        constants = sorted(g for g, c in df_counter.items() if c >= min_df and g)
+        constants = sorted(
+            g
+            for g, c in df_counter.items()
+            if c >= min_df and g and _occurs(g, texts)
+        )
         taken = {a for a, _, _ in result.values()}
         scored = []
         for f in need:

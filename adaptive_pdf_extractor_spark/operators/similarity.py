@@ -220,9 +220,19 @@ def train_ivf_centroids(
         F.xxhash64(F.col(vec_col).cast("array<double>").cast("string")),
         F.lit(k),
     )
-    rows = df.select(vec_col).filter(key == 0).limit(8 * sample).collect()
+    # distinct() before the safety limit: duplicate embeddings (dedup-shaped
+    # corpora have many) all share the content hash, so one popular vector
+    # could overflow the cap and make limit() take a partition-dependent
+    # subset. Distinct vectors are also the better k-means training set.
+    rows = (
+        df.select(vec_col)
+        .filter(key == 0)
+        .distinct()
+        .limit(16 * sample)
+        .collect()
+    )
     if not rows:  # tiny corpus edge: take what exists
-        rows = df.select(vec_col).limit(sample).collect()
+        rows = df.select(vec_col).distinct().limit(sample).collect()
     rows.sort(
         key=lambda r: hashlib.sha1(str(list(r[0])).encode("utf-8")).digest()
     )
@@ -320,11 +330,15 @@ def knn_join(
     buckets."""
     from pyspark.sql.window import Window
 
+    from .dedup import _spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
     )
-    c = corpus.select(
+    # corpus side spread (small-file single-partition inputs would score
+    # every pair on one core)
+    c = _spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
@@ -373,7 +387,11 @@ def embedding_neardup_pairs(
     # Norms are hoisted out of the O(pairs) loop: computed once per row
     # (same fold order as inline, so the float result — and the DuckDB
     # oracle match — is bit-identical), pairs then cost one dot product.
-    base = df.select(
+    # _spread first: a small parquet input arrives as ONE partition and
+    # would run the bucket matmul / pair dots on a single core.
+    from .dedup import _spread
+
+    base = _spread(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).withColumn("nrm", _norm(F.col("vec")))

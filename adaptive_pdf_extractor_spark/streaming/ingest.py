@@ -136,8 +136,11 @@ def streaming_exact_dedup(
     If ``ts_col`` already exists it is used as-is (caller-supplied event
     time drives the watermark); only absent columns get a processing-time
     default."""
-    fp = F.xxhash64(F.lower(F.regexp_replace(F.trim(F.expr(text_expr)), r"\s+", " ")))
-    with_fp = docs.withColumn("_fp", fp)
+    from ..functions.text import doc_fingerprint
+
+    # the SAME canonical content key as batch exact dedup — the batch and
+    # streaming twins must agree on what "identical content" means
+    with_fp = docs.withColumn("_fp", doc_fingerprint(F.expr(text_expr)))
     if ts_col not in docs.columns:
         with_fp = with_fp.withColumn(ts_col, F.current_timestamp())
     return (
