@@ -283,6 +283,25 @@ def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate strip over documents wrapped in a
+    synthetic site template (constant NAV/FOOTER lines): the frequent lines
+    must vanish, unique body lines survive verbatim. Fully oracled — the
+    line-frequency voting and positional re-assembly are ANSI-expressible."""
+    from adaptive_pdf_extractor_spark.operators import layout
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    src = d.select(
+        "doc_id",
+        F.lit("siteA").alias("source"),
+        F.concat(
+            F.lit("NAV BAR\n"), F.col("text"), F.lit("\nFOOTER SITEA")
+        ).alias("text"),
+    )
+    out = layout.boilerplate_strip(src, min_doc_frac=0.6, min_docs=5)
+    return out.select("doc_id", "text_clean")
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data curation over the planted-dup corpus:
     quality gate -> exact dedup (min-id keeper per fingerprint) -> near-dup
@@ -421,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
         "corpus_curation": q_corpus_curation,
+        "boilerplate_strip": q_boilerplate_strip,
         "embedding_knn_join": q_embedding_knn_join,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -663,6 +683,46 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": _SQL_CLUSTERS.format(
             src=f"({planted})", threshold=0.8
         ),
+        "boilerplate_strip": """
+            WITH src AS (
+                SELECT doc_id, 'siteA' AS source,
+                       'NAV BAR' || chr(10) || text || chr(10) || 'FOOTER SITEA'
+                           AS text
+                FROM documents WHERE doc_id < 200
+            ),
+            lines AS (
+                SELECT doc_id, source,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(generate_series(
+                           1, len(string_split(text, chr(10))))) AS pos
+                FROM src
+            ),
+            totals AS (SELECT source, count(DISTINCT doc_id) AS n
+                       FROM src GROUP BY source),
+            freq AS (
+                SELECT l.source, l.tline AS key
+                FROM (SELECT DISTINCT source, doc_id, trim(line) AS tline
+                      FROM lines WHERE length(line) <= 200) l
+                JOIN totals t ON t.source = l.source
+                GROUP BY l.source, l.tline, t.n
+                HAVING count(*) >= 5 AND count(*) * 1.0 / t.n >= 0.6
+            ),
+            kept AS (
+                SELECT l.doc_id, l.pos, l.line
+                FROM lines l
+                LEFT JOIN freq f
+                  ON f.source = l.source AND f.key = trim(l.line)
+                WHERE f.key IS NULL
+            )
+            SELECT s.doc_id,
+                   coalesce(k.text_clean, '') AS text_clean
+            FROM src s
+            LEFT JOIN (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text_clean
+                FROM kept GROUP BY doc_id
+            ) k ON k.doc_id = s.doc_id
+        """,
         "corpus_curation": (
             "WITH RECURSIVE "
             + f"""
