@@ -399,7 +399,11 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs on planted dups (rows-only: xxhash64-based
     signatures are not reproducible in ANSI SQL)."""
     return dedup.simhash_pairs(
-        _planted_dups(spark, sf_dir), "doc_id", "text", max_hamming=12
+        _planted_dups(spark, sf_dir),
+        "doc_id",
+        "text",
+        max_hamming=12,
+        n_rotations=4,
     )
 
 

@@ -357,18 +357,47 @@ def simhash_pairs(
     *,
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    n_rotations: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, bucketed by the top
-    ``prefix_bits`` of the signature to avoid the full cross join (misses
-    pairs differing inside the prefix — the standard recall/cost trade;
-    rotate prefixes for full recall)."""
+    ``prefix_bits`` of the signature to avoid the full cross join.
+
+    A single prefix misses pairs whose differing bits fall inside it;
+    ``n_rotations > 1`` re-buckets on rotated signatures (rotation r shifts
+    by r*64//n_rotations bits) so a pair is a candidate if ANY rotation
+    agrees on its prefix — the OR-amplification that takes recall at
+    hamming <= h from one prefix's (64-prefix_bits choose h)/(64 choose h)
+    toward 1 while cost stays ~n_rotations buckets per row. Pairs dedupe as
+    bare ids before the (verified, exact) hamming filter."""
     sigs = _spread(df).select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
-    ).withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
-    x, y = sigs.alias("x"), sigs.alias("y")
+    )
+    step = 64 // max(1, n_rotations)
+    rot_buckets = []
+    for r in range(n_rotations):
+        k = r * step
+        # Java shift amounts are mod 64: rotate-by-0 must bypass the
+        # `x >>> 64` formulation (which is a no-op shift, not zero)
+        rotated = (
+            F.col("sig")
+            if k == 0
+            else F.shiftleft("sig", k).bitwiseOR(
+                F.shiftrightunsigned("sig", 64 - k)
+            )
+        )
+        rot_buckets.append(
+            F.struct(
+                F.lit(r).alias("rot"),
+                F.shiftrightunsigned(rotated, 64 - prefix_bits).alias("bucket"),
+            )
+        )
+    buck = sigs.select(
+        "id", "sig", F.explode(F.array(*rot_buckets)).alias("rb")
+    ).select("id", "sig", "rb.rot", "rb.bucket")
+    x, y = buck.alias("x"), buck.alias("y")
     hamming = F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig")))
     return (
-        x.join(y, "bucket")
+        x.join(y, ["rot", "bucket"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(
             F.col("x.id").alias("id_a"),
@@ -376,6 +405,7 @@ def simhash_pairs(
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -350,3 +350,39 @@ def test_embedding_neardup_lsh_null_and_ragged_vectors(spark):
     }
     assert all(a not in (7777, 8888) and b not in (7777, 8888) for a, b in lsh)
     assert len(lsh & {(i, 1000 + i) for i in range(5)}) >= 4
+
+
+def test_simhash_rotation_recall(corpus):
+    """Rotated re-bucketing is pure OR-amplification: every single-prefix
+    pair survives, new pairs may appear, and everything returned is exact
+    (verified against all-pairs hamming ground truth)."""
+    sigs = corpus.select(
+        F.col("doc_id").alias("id"), dedup.simhash64(F.col("text")).alias("sig")
+    ).cache()
+    x, y = sigs.alias("x"), sigs.alias("y")
+    ground = {
+        (r["a"], r["b"]): r["h"]
+        for r in x.crossJoin(y)
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig"))).alias("h"),
+        )
+        .filter(F.col("h") <= 12)
+        .collect()
+    }
+
+    def pairs(n_rot):
+        return {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup.simhash_pairs(
+                corpus, "doc_id", "text",
+                max_hamming=12, prefix_bits=16, n_rotations=n_rot,
+            ).collect()
+        }
+
+    p1, p4 = pairs(1), pairs(4)
+    assert set(p1) <= set(p4) <= set(ground)
+    assert all(ground[k] == v for k, v in p4.items())
+    assert len(p4) >= len(p1)
