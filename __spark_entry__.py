@@ -283,6 +283,19 @@ def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal leg: deterministic FAKEMEDIA binaries (count keyed by the
+    documents table) -> Arrow-batched decode + per-channel feature stats
+    (operators/media.py). Rows-only: binary decode is not ANSI-SQL; the
+    decode/feature math is pinned by tests/test_media.py, and real codecs
+    are import-gated behind the same operator surface."""
+    from adaptive_pdf_extractor_spark.operators import media
+
+    n = min(_docs(spark, sf_dir).count(), 500)
+    m = media.synthetic_media_df(spark, int(n), partitions=4)
+    return media.image_features(m.filter(F.col("kind") == "image"))
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency boilerplate strip over documents wrapped in a
     synthetic site template (constant NAV/FOOTER lines): the frequent lines
@@ -445,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "corpus_curation": q_corpus_curation,
         "boilerplate_strip": q_boilerplate_strip,
+        "media_features": q_media_features,
         "embedding_knn_join": q_embedding_knn_join,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
@@ -810,7 +824,8 @@ FROM kept k JOIN canon ON k.doc_id = canon.doc_id
             FROM documents
         """,
         # adaptive_extract, simhash_neardup, ann_lsh_topk, ann_ivf_topk,
-        # winnowing_sketch, embedding_neardup_lsh: intentionally no oracle
-        # (iterative/approximate/hash-engine-specific) -> rows-only; each is
-        # pinned by a dedicated exactness/recall test instead.
+        # winnowing_sketch, embedding_neardup_lsh, media_features:
+        # intentionally no oracle (iterative/approximate/hash-engine-
+        # specific/binary-decode) -> rows-only; each is pinned by a
+        # dedicated exactness/recall/decode test instead.
     }
