@@ -40,6 +40,8 @@ def _flagship(spark: SparkSession, sf_dir: str, max_rounds: int = 3) -> DataFram
     span corpus keyed by the documents table's doc_ids, learn rules from
     scratch (miner + iterative broadcast), extract, and return the flat
     (doc_id, field, value) view of the output span table."""
+    import os
+    import shutil
     import tempfile
 
     from adaptive_pdf_extractor_spark.plans.pipeline import (
@@ -54,14 +56,20 @@ def _flagship(spark: SparkSession, sf_dir: str, max_rounds: int = 3) -> DataFram
     docs = spark_io.synthetic_corpus_df(
         spark, seed=13, count=n_docs, corpus="flagship"
     )
-    run_dir = tempfile.mkdtemp(prefix="flagship_run_")
+    # stable, reused run dir (a mkdtemp per call leaked snapshot dirs
+    # across repeated bench/driver invocations)
+    run_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"flagship_run_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(run_dir, ignore_errors=True)
     pipe = ExtractionPipeline(
         spark,
         run_dir,
         PipelineConfig(max_rounds=max_rounds, num_partitions=8),
     )
     out = pipe.run(docs, initial_rules_rows=[], write_output=False)
-    return (
+    flat = (
         out.select("doc_id", F.explode("spans").alias("s"))
         .filter(F.col("s.kind") != "media")
         .select(
@@ -71,6 +79,11 @@ def _flagship(spark: SparkSession, sf_dir: str, max_rounds: int = 3) -> DataFram
             F.col("s.offset").alias("field_pos"),
         )
     )
+    # run() unpersists its inputs on exit, so consuming the returned frame
+    # would regenerate the corpus and re-run the final extraction; the
+    # deferred localCheckpoint materializes the (small) flat view once at
+    # the caller's first action and truncates that lineage.
+    return flat.localCheckpoint(eager=False)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -357,22 +370,29 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _planted_vec_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings unioned with deterministically perturbed copies
-    (vec_id+100000, per-element scale in [0.994, 1.006] -> cosine ~0.9999)
-    — planted near-duplicate vectors, the embedding analog of
-    :func:`_planted_dups`."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "embedding"
-    )
-    mutated = e.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+def perturbed_embedding_copy(e: DataFrame, j: int = 1) -> DataFrame:
+    """Deterministically perturbed copy of an embeddings frame: vec_id
+    shifts by j*100000, each element scales by 1 + 0.002*j*(pmod(i+vec_id,
+    7)-3) (in [1-0.006j, 1+0.006j] -> cosine ~0.9999 at j=1). Shared by the
+    registered near-dup query and bench.py's 10x scale-up so the benched
+    workload can't drift from the oracled one."""
+    return e.select(
+        (F.col("vec_id") + 100000 * j).alias("vec_id"),
         F.expr(
-            "cast(transform(embedding, (x, i) -> x * (1.0 + 0.002"
+            f"cast(transform(embedding, (x, i) -> x * (1.0 + 0.002 * {j}"
             " * (pmod(i + vec_id, 7) - 3))) as array<float>)"
         ).alias("embedding"),
     )
-    return e.unionByName(mutated)
+
+
+def _planted_vec_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings unioned with deterministically perturbed copies
+    (vec_id+100000, cosine ~0.9999) — planted near-duplicate vectors, the
+    embedding analog of :func:`_planted_dups`."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return e.unionByName(perturbed_embedding_copy(e, 1))
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -485,10 +505,16 @@ def _sql_occurrences(col: str, word: str) -> str:
     )
 
 
+# The shared explicit whitespace class (functions/text.py WS_CLASS): DuckDB
+# SQL string literals pass backslash escapes through to RE2 verbatim, so the
+# same raw pattern text drives both engines.
+_SQL_WS = T.WS_CLASS
+
+
 def _sql_token_count(col: str = "text") -> str:
     return (
         f"CASE WHEN trim({col}) = '' THEN 0 "
-        f"ELSE len(regexp_extract_all(trim({col}), '[^\\s]+')) END"
+        f"ELSE len(regexp_extract_all(trim({col}), '[^{_SQL_WS}]+')) END"
     )
 
 
@@ -500,7 +526,7 @@ def _sql_stopword_ratio(col: str = "text") -> str:
 
 def _sql_mean_word_len(col: str = "text") -> str:
     n = _sql_token_count(col)
-    chars = f"length(regexp_replace({col}, '\\s+', '', 'g'))"
+    chars = f"length(regexp_replace({col}, '[{_SQL_WS}]+', '', 'g'))"
     return f"CASE WHEN {n} > 0 THEN round({chars} * 1.0 / {n}, 4) ELSE 0.0 END"
 
 
@@ -543,7 +569,7 @@ def _sql_lang_pred(col: str = "text") -> str:
 
 
 _SQL_FINGERPRINT = (
-    "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+    f"md5(lower(regexp_replace(trim(text), '[{_SQL_WS}]+', ' ', 'g')))"
 )
 
 _SQL_SHINGLES_CTE = """
@@ -709,17 +735,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id < 200
             ),
             lines AS (
-                SELECT doc_id, source,
+                -- cid: the operator votes by distinct CONTENT, not doc_id
+                -- (exact-dup copies count once) — mirror it
+                SELECT doc_id, source, md5(source || chr(0) || text) AS cid,
                        unnest(string_split(text, chr(10))) AS line,
                        unnest(generate_series(
                            1, len(string_split(text, chr(10))))) AS pos
                 FROM src
             ),
-            totals AS (SELECT source, count(DISTINCT doc_id) AS n
+            totals AS (SELECT source,
+                              count(DISTINCT md5(source || chr(0) || text)) AS n
                        FROM src GROUP BY source),
             freq AS (
                 SELECT l.source, l.tline AS key
-                FROM (SELECT DISTINCT source, doc_id, trim(line) AS tline
+                FROM (SELECT DISTINCT source, cid, trim(line) AS tline
                       FROM lines WHERE length(line) <= 200) l
                 JOIN totals t ON t.source = l.source
                 GROUP BY l.source, l.tline, t.n

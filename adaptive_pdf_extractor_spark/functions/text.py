@@ -33,11 +33,21 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS_EN = ["the", "a", "of", "to", "and", "in", "is", "it", "that", "for"]
 
 
+# Explicit whitespace class used in every cross-engine pattern: Java \s
+# includes \x0B (vertical tab), RE2 (DuckDB) \s does not — naming the
+# characters keeps Spark and the oracles byte-identical on all inputs.
+WS_CLASS = r"\t\n\x0b\f\r "
+
+
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization; empty text -> empty array (not [''])."""
-    trimmed = F.trim(col)
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
+    """Whitespace tokenization; empty/whitespace-only text -> empty array.
+
+    Boundary whitespace is stripped by regex (F.trim removes only spaces;
+    a trailing newline would otherwise yield a counted empty-string token
+    and break the ``[^\\s]+``-counting oracles)."""
+    cleaned = F.regexp_replace(col, rf"^[{WS_CLASS}]+|[{WS_CLASS}]+$", "")
+    return F.when(cleaned == "", F.array().cast("array<string>")).otherwise(
+        F.split(cleaned, rf"[{WS_CLASS}]+")
     )
 
 
@@ -65,7 +75,7 @@ def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
 
 def punct_ratio(col: Column) -> Column:
     """Fraction of non-alphanumeric, non-space characters."""
-    stripped = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    stripped = F.regexp_replace(col, rf"[A-Za-z0-9{WS_CLASS}]", "")
     return F.when(
         F.length(col) > 0, F.round(F.length(stripped) / F.length(col), 4)
     ).otherwise(F.lit(0.0))
@@ -73,7 +83,7 @@ def punct_ratio(col: Column) -> Column:
 
 def mean_word_length(col: Column) -> Column:
     n = token_count(col)
-    chars = F.length(F.regexp_replace(col, r"\s+", ""))
+    chars = F.length(F.regexp_replace(col, rf"[{WS_CLASS}]+", ""))
     return F.when(n > 0, F.round(chars / n, 4)).otherwise(F.lit(0.0))
 
 
@@ -128,7 +138,7 @@ def doc_fingerprint(col: Column) -> Column:
     """Deterministic 64-bit document fingerprint: xxhash64 of the
     whitespace-normalized, lowercased text. The canonical exact-dedup key
     (content-defined, layout-insensitive)."""
-    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    normalized = F.lower(F.regexp_replace(F.trim(col), rf"[{WS_CLASS}]+", " "))
     return F.xxhash64(normalized)
 
 
@@ -136,7 +146,7 @@ def doc_fingerprint(col: Column) -> Column:
 # constructs with identical semantics in Java regex and RE2 so the DuckDB
 # oracle reproduces it exactly): letter runs, digit runs, non-space symbol
 # runs — the unit a byte-pair encoder would merge within.
-BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+BPE_TOKEN_PATTERN = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS_CLASS}]+"
 
 
 def bpe_token_count(col: Column) -> Column:
@@ -224,5 +234,5 @@ def winnowing_fingerprints_columns(
 def doc_fingerprint_md5(col: Column) -> Column:
     """Portable variant of :func:`doc_fingerprint` (md5 hex — identical in
     every engine, used when a cross-engine oracle must reproduce it)."""
-    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    normalized = F.lower(F.regexp_replace(F.trim(col), rf"[{WS_CLASS}]+", " "))
     return F.md5(normalized)

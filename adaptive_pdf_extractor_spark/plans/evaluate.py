@@ -17,14 +17,22 @@ from ..sources.spark_io import spans_equal_expr
 
 def span_parity(output: DataFrame, golden: DataFrame) -> Row:
     """Span-sequence equality (kind, text, media_ref, order) per doc_id —
-    the north_rule invariant. Returns Row(total, equal, parity)."""
-    joined = output.alias("a").join(golden.alias("b"), "doc_id", "inner")
+    the north_rule invariant. Returns Row(total, equal, parity).
+
+    ``total`` is the GOLDEN doc count (left join from golden): an output
+    that dropped documents scores those as unequal instead of silently
+    shrinking the denominator — an empty output reads as 0.0 parity, never
+    1.0."""
+    joined = golden.alias("b").join(output.alias("a"), "doc_id", "left")
+    equal_expr = F.when(
+        F.col("a.spans").isNotNull() & spans_equal_expr(), 1
+    ).otherwise(0)
     agg = joined.agg(
         F.count("*").alias("total"),
-        F.sum(spans_equal_expr().cast("int")).alias("equal"),
+        F.sum(equal_expr).alias("equal"),
     ).first()
     total, equal = agg["total"], agg["equal"] or 0
-    return Row(total=total, equal=equal, parity=(equal / total if total else 1.0))
+    return Row(total=total, equal=equal, parity=(equal / total if total else 0.0))
 
 
 def field_accuracy(output: DataFrame, docs_with_expected: DataFrame) -> Row:
@@ -41,13 +49,20 @@ def field_accuracy(output: DataFrame, docs_with_expected: DataFrame) -> Row:
     exp = docs_with_expected.select(
         "doc_id", F.explode("expected").alias("e")
     ).select("doc_id", F.col("e.name").alias("field"), F.col("e.value").alias("expected"))
-    j = ext.join(exp, ["doc_id", "field"])
+    # LEFT from expected: a (doc, field) the output dropped counts as wrong,
+    # not as a shrunken denominator (same blindness guard as span_parity).
+    # The _present marker separates "row missing" from "extracted null" —
+    # only the latter may match a null expected.
+    ext = ext.withColumn("_present", F.lit(1))
+    j = exp.join(ext, ["doc_id", "field"], "left")
     per_field = j.withColumn(
         "ok",
-        (
-            (F.col("value") == F.col("expected"))
-            | (F.col("value").isNull() & F.col("expected").isNull())
-        ).cast("int"),
+        F.when(F.col("_present").isNull(), F.lit(0)).otherwise(
+            (
+                (F.col("value") == F.col("expected"))
+                | (F.col("value").isNull() & F.col("expected").isNull())
+            ).cast("int")
+        ),
     )
     per_doc = per_field.groupBy("doc_id").agg(
         F.count("*").alias("n"), F.sum("ok").alias("n_ok")

@@ -359,19 +359,43 @@ class ExtractionPipeline:
 
             # A finished run resumes straight to the final pass: its rules
             # are converged and committed; re-mining would append spurious
-            # rounds to the manifest.
-            round_range = [] if self.manifest.complete else range(start_round, cfg.max_rounds)
+            # rounds to the manifest. Same for a run that crashed BETWEEN a
+            # converged round's commit and finish(): the last committed
+            # round's n_new_rules == 0 proves convergence, and an extra
+            # resumed round would re-aggregate a whole pass of rule-weight
+            # hits (which can flip priority order — not byte-identical).
+            prev = next(
+                (
+                    r
+                    for r in self.manifest.state.get("rounds", [])
+                    if r["round"] == start_round - 1
+                ),
+                None,
+            )
+            converged = prev is not None and prev.get("n_new_rules", 1) == 0
+            round_range = (
+                []
+                if (self.manifest.complete or converged)
+                else range(start_round, cfg.max_rounds)
+            )
             for round_no in round_range:
                 extracted = self._extract(docs, rules_rows, final=False).persist()
                 try:
                     rules_rows = aggregate_weights(rules_rows, extracted)
                     metrics, lineage = self._round_metrics(extracted)
-                    if cfg.discover_anchors and round_no == start_round:
+                    if cfg.discover_anchors and not self.manifest.state.get(
+                        "anchor_discovery_done"
+                    ):
                         # Anchors are template properties: one discovery pass
                         # over the first executed round's unresolved docs
                         # covers every label that will ever reach the miner
-                        # (unresolved labels shrink monotonically).
+                        # (unresolved labels shrink monotonically). The
+                        # manifest flag (committed with the round) makes a
+                        # RESUMED run skip re-discovery exactly like the
+                        # uninterrupted run would — re-running on a later
+                        # round's different sample could diverge.
                         self._discover_anchors(extracted, docs)
+                        self.manifest.state["anchor_discovery_done"] = True
                     mined = self._mine(extracted)
                 finally:
                     extracted.unpersist()

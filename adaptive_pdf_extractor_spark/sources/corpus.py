@@ -72,6 +72,15 @@ def load_reference_json(path: str) -> list[dict]:
     try:
         return json.loads(raw)
     except json.JSONDecodeError:
+        pass
+    # Tiered json5 fallback: full-line comments + trailing commas first —
+    # the aggressive '//...' strip would truncate string values containing
+    # '//' (URLs); it runs only as a last resort.
+    cleaned = re.sub(r"(?m)^\s*//[^\n]*", "", raw)
+    cleaned = re.sub(r",(\s*[}\]])", r"\1", cleaned)
+    try:
+        return json.loads(cleaned)
+    except json.JSONDecodeError:
         cleaned = re.sub(r"//[^\n]*", "", raw)
         cleaned = re.sub(r",(\s*[}\]])", r"\1", cleaned)
         return json.loads(cleaned)

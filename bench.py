@@ -123,15 +123,7 @@ def main() -> None:
     )
     big = emb
     for j in range(1, 5):
-        big = big.unionByName(
-            emb.select(
-                (F.col("vec_id") + 100000 * j).alias("vec_id"),
-                F.expr(
-                    f"cast(transform(embedding, (x, i) -> x * (1.0 + 0.002 * {j}"
-                    " * (pmod(i + vec_id, 7) - 3))) as array<float>)"
-                ).alias("embedding"),
-            )
-        )
+        big = big.unionByName(entry_mod.perturbed_embedding_copy(emb, j))
     big = big.persist()
     n_vectors = big.count()
 

@@ -38,3 +38,20 @@ def test_export_orders_by_priority():
     ]
     exported = corpus_mod.rule_rows_to_reference_cache(rows)
     assert [it["rule"]["rule"] for it in exported["l"]["f"]] == ["heavy", "light"]
+
+
+def test_json5_fallback_preserves_urls(tmp_path):
+    """The comment-strip fallback must not truncate string values that
+    contain '//' (URLs); full-line comments and trailing commas go."""
+    from adaptive_pdf_extractor_spark.sources.corpus import load_reference_json
+
+    p = tmp_path / "d.json"
+    p.write_text(
+        '[\n'
+        '  // full-line comment\n'
+        '  {"label": "l", "site": "https://example.org/x", "pdf_text": "t",},\n'
+        ']\n',
+        encoding="utf-8",
+    )
+    rows = load_reference_json(str(p))
+    assert rows == [{"label": "l", "site": "https://example.org/x", "pdf_text": "t"}]

@@ -272,3 +272,61 @@ def test_pipeline_keyword_guard_on_clean_corpus(spark, tmp_path):
     out = pipe.run(docs, initial_rules_rows=[], write_output=False)
     acc = field_accuracy(out, docs)
     assert acc.accuracy > 0.98
+
+
+def test_span_parity_counts_dropped_docs_as_unequal(spark):
+    """An output missing documents (or empty) must not read as perfect
+    parity: the denominator is the golden count."""
+    from adaptive_pdf_extractor_spark.plans.evaluate import span_parity
+    from adaptive_pdf_extractor_spark.sources.corpus import OUTPUT_DDL
+
+    golden = spark.createDataFrame(
+        [
+            {"doc_id": "d1", "spans": [
+                {"kind": "f", "text": "v", "media_ref": None, "offset": 0}]},
+            {"doc_id": "d2", "spans": [
+                {"kind": "f", "text": "w", "media_ref": None, "offset": 0}]},
+        ],
+        OUTPUT_DDL,
+    )
+    empty = spark.createDataFrame([], OUTPUT_DDL)
+    r = span_parity(empty, golden)
+    assert r.total == 2 and r.equal == 0 and r.parity == 0.0
+    partial = golden.filter(F.col("doc_id") == "d1")
+    r2 = span_parity(partial, golden)
+    assert r2.total == 2 and r2.equal == 1 and r2.parity == 0.5
+
+
+def test_resume_after_converged_commit_runs_no_extra_round(spark, tmp_path):
+    """Crash between a converged round's commit and finish(): the resumed
+    run must NOT execute another round (an extra weight-aggregation pass
+    could flip rule priority order)."""
+    from adaptive_pdf_extractor_spark.plans.checkpoint import _atomic_write_json
+    from adaptive_pdf_extractor_spark.plans.pipeline import (
+        ExtractionPipeline,
+        PipelineConfig,
+    )
+    from adaptive_pdf_extractor_spark.sources import spark_io
+
+    docs = spark_io.synthetic_corpus_df(spark, seed=83, count=150, partitions=2)
+    run_dir = str(tmp_path / "crashy")
+    pipe = ExtractionPipeline(
+        spark, run_dir, PipelineConfig(max_rounds=4, num_partitions=2)
+    )
+    pipe.run(docs, initial_rules_rows=[], write_output=False)
+    state = dict(pipe.manifest.state)
+    assert state["rounds"][-1]["n_new_rules"] == 0  # converged
+    n_rounds = len(state["rounds"])
+    rules_before = pipe.final_rules()
+    # simulate the crash: wind status back to 'running' (finish never ran)
+    state["status"] = "running"
+    state.pop("summary", None)
+    _atomic_write_json(pipe.manifest.path, state)
+
+    pipe2 = ExtractionPipeline(
+        spark, run_dir, PipelineConfig(max_rounds=4, num_partitions=2)
+    )
+    pipe2.run(docs, initial_rules_rows=[], write_output=False)
+    assert len(pipe2.manifest.state["rounds"]) == n_rounds  # no extra round
+    assert pipe2.final_rules() == rules_before  # weights untouched
+    assert pipe2.manifest.complete

@@ -77,3 +77,47 @@ def test_winnowing_np_matches_column_reference(spark):
     for r in rows:
         assert r["fast"] == r["ref"], r["id"]
         assert r["fast2"] == r["ref2"], r["id"]
+
+
+def test_tokens_boundary_whitespace_and_oracle_parity(spark):
+    """Boundary whitespace (incl. non-space kinds F.trim misses) must not
+    create counted empty tokens, and token/BPE counts plus the exact-dedup
+    fingerprint input must agree with DuckDB RE2 semantics even on \\x0B
+    (in Java \\s but not RE2 \\s)."""
+    import duckdb
+
+    texts = [
+        "plain text here",
+        "trailing newline\n",
+        "\n\tleading\tand trailing \n",
+        "\n",
+        "a\x0bb c",
+        "  spaces  ",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, t string")
+    got = {
+        r["id"]: (r["n"], r["bpe"], r["fp"])
+        for r in df.select(
+            "id",
+            T.token_count(F.col("t")).cast("long").alias("n"),
+            T.bpe_token_count(F.col("t")).alias("bpe"),
+            F.md5(
+                F.lower(F.regexp_replace(F.trim("t"), rf"[{T.WS_CLASS}]+", " "))
+            ).alias("fp"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        n, bpe, fp = con.execute(
+            f"""SELECT
+              CASE WHEN trim(?) = '' THEN 0
+                   ELSE len(regexp_extract_all(trim(?), '[^{T.WS_CLASS}]+')) END,
+              len(regexp_extract_all(?, '{T.BPE_TOKEN_PATTERN}')),
+              md5(lower(regexp_replace(trim(?), '[{T.WS_CLASS}]+', ' ', 'g')))
+            """,
+            [t, t, t, t],
+        ).fetchone()
+        assert got[i] == (n, bpe, fp), (i, repr(t), got[i], (n, bpe, fp))
+    # and no empty tokens regardless of boundary whitespace kind
+    assert got[1][0] == 2 and got[3][0] == 0 and got[5][0] == 1
