@@ -176,7 +176,13 @@ def lsh_topk(
     probes = [qbucket] + [
         qbucket ^ (1 << p) for p in by_margin[: max(0, n_probes - 1)]
     ]
-    bucketed = df.withColumn("_bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    # corpus-side buckets via the Arrow/numpy matmul (lsh_bucket_expr's
+    # interpreted per-plane dot folds are the corpus-sized slow path;
+    # kept as the executable spec)
+    bucket_col = F.element_at(
+        lsh_table_buckets_np([planes])(F.col(vec_col)), 1
+    )
+    bucketed = df.withColumn("_bucket", bucket_col)
     return brute_force_topk(
         bucketed.filter(F.col("_bucket").isin(probes)), id_col, vec_col, query_vec, k
     )

@@ -386,3 +386,19 @@ def test_simhash_rotation_recall(corpus):
     assert set(p1) <= set(p4) <= set(ground)
     assert all(ground[k] == v for k, v in p4.items())
     assert len(p4) >= len(p1)
+
+
+def test_lsh_bucket_np_matches_column_expr(vectors):
+    """The numpy bucket assignment (hot path of lsh_topk and the multi-table
+    near-dup) must agree with the Column-algebra reference formulation on
+    every vector (sign ties at dot==0 are measure-zero for real data; any
+    disagreement here is a real bug, not noise)."""
+    planes = similarity.hyperplanes(16, 8, seed=42)
+    rows = vectors.select(
+        "vec_id",
+        similarity.lsh_bucket_expr(F.col("embedding"), planes).alias("col_b"),
+        F.element_at(
+            similarity.lsh_table_buckets_np([planes])(F.col("embedding")), 1
+        ).alias("np_b"),
+    ).collect()
+    assert rows and all(r["col_b"] == r["np_b"] for r in rows)
