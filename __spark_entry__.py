@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from adaptive_pdf_extractor_spark.functions import text as T
 from adaptive_pdf_extractor_spark.operators import dedup, similarity
+from adaptive_pdf_extractor_spark.operators.stats import split_threshold_hex
 from adaptive_pdf_extractor_spark.operators.extract import salted_repartition
 
 SF0001 = "/root/testdata/sf0.001"
@@ -296,6 +297,28 @@ def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by md5 hex-key
+    ranges: per-split doc counts (the split is a pure function of doc_id —
+    stable across reruns, repartitions, cluster sizes)."""
+    from adaptive_pdf_extractor_spark.operators import stats
+
+    d = _docs(spark, sf_dir)
+    return (
+        stats.hash_split(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-25 token frequencies (corpus vocabulary head) with a
+    deterministic count-desc/term-asc tiebreak."""
+    from adaptive_pdf_extractor_spark.operators import stats
+
+    return stats.top_terms(_docs(spark, sf_dir), "text", k=25, min_len=2)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal leg: deterministic FAKEMEDIA binaries (count keyed by the
     documents table) -> Arrow-batched decode + per-channel feature stats
@@ -478,6 +501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "corpus_curation": q_corpus_curation,
         "boilerplate_strip": q_boilerplate_strip,
+        "hash_split": q_hash_split,
+        "top_terms": q_top_terms,
         "media_features": q_media_features,
         "embedding_knn_join": q_embedding_knn_join,
         "embedding_topk": q_embedding_topk,
@@ -727,6 +752,29 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": _SQL_CLUSTERS.format(
             src=f"({planted})", threshold=0.8
         ),
+        "hash_split": f"""
+            SELECT split, count(*) AS n_docs FROM (
+                SELECT CASE
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 25, 8)
+                         < '{split_threshold_hex(0.9)}'
+                        THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 25, 8)
+                         < '{split_threshold_hex(0.95)}'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+                FROM documents
+            ) GROUP BY split
+        """,
+        "top_terms": f"""
+            SELECT term, n FROM (
+                SELECT lower(t) AS term, count(*) AS n
+                FROM (SELECT unnest(regexp_extract_all(
+                          trim(text), '[^{_SQL_WS}]+')) AS t
+                      FROM documents)
+                WHERE length(t) >= 2
+                GROUP BY lower(t)
+            ) ORDER BY n DESC, term ASC LIMIT 25
+        """,
         "boilerplate_strip": """
             WITH src AS (
                 SELECT doc_id, 'siteA' AS source,
