@@ -148,3 +148,29 @@ def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
     # exactly one of (original, dup/original) per content
     bases = {i.removeprefix("dup/") for i in ids}
     assert len(bases) == 60
+
+
+def test_streaming_dedup_keeps_caller_event_time(spark, tmp_path):
+    """A caller-supplied event-time column must drive the watermark and
+    survive to the output (not be clobbered by processing time)."""
+    docs = spark_io.synthetic_corpus_df(spark, seed=47, count=20, partitions=1)
+    stamped = docs.withColumn(
+        "ingest_ts", F.to_timestamp(F.lit("2020-01-01 00:00:00"))
+    )
+    src = str(tmp_path / "landing5")
+    stamped.write.parquet(src)
+    schema = stamped.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = ingest.streaming_exact_dedup(stream)
+    q = (
+        out.select("doc_id", "ingest_ts")
+        .writeStream.format("memory")
+        .queryName("stream_ts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stream_ts").collect()
+    assert len(rows) == 20
+    assert all(str(r["ingest_ts"]).startswith("2020-01-01") for r in rows)

@@ -121,3 +121,30 @@ def test_tokens_boundary_whitespace_and_oracle_parity(spark):
         assert got[i] == (n, bpe, fp), (i, repr(t), got[i], (n, bpe, fp))
     # and no empty tokens regardless of boundary whitespace kind
     assert got[1][0] == 2 and got[3][0] == 0 and got[5][0] == 1
+
+
+def test_hash_split_stable_and_proportional(spark):
+    """hash_split is a pure function of the id: identical assignment at any
+    partitioning, fractions roughly respected, thresholds exact."""
+    from adaptive_pdf_extractor_spark.operators import stats
+
+    ids = spark.range(0, 2000, 1, 4).withColumnRenamed("id", "doc_id")
+    a = {
+        r["doc_id"]: r["split"]
+        for r in stats.hash_split(
+            ids, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in stats.hash_split(
+            ids.repartition(13), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert a == b  # partitioning-independent
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert abs(c["val"] / 2000 - 0.1) < 0.03
+    assert abs(c["test"] / 2000 - 0.1) < 0.03
