@@ -522,7 +522,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _sql_occurrences(col: str, word: str) -> str:
-    padded = f"(' ' || {col} || ' ')"
+    # mirror functions/text.word_occurrences exactly: whitespace-normalize,
+    # double interior spaces (adjacent repeats must not share delimiter
+    # spaces with the non-overlapping replace-count), then pad and count
+    normalized = f"regexp_replace({col}, '[{_SQL_WS}]+', ' ', 'g')"
+    padded = f"(' ' || replace({normalized}, ' ', '  ') || ' ')"
     needle = f" {word} "
     return (
         f"CAST((length({padded}) - length(replace({padded}, '{needle}', '')))"

@@ -57,8 +57,18 @@ def token_count(col: Column) -> Column:
 
 def word_occurrences(col: Column, word: str) -> Column:
     """Count of a token (word-boundary by whitespace) — the substring-count
-    formulation keeps it expressible identically in ANSI SQL."""
-    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    formulation keeps it expressible identically in ANSI SQL.
+
+    Two delimiter subtleties, both load-bearing: (1) whitespace normalizes
+    to single spaces first, so newline/tab-separated tokens count (the
+    token_count denominator splits on the same class); (2) interior spaces
+    are DOUBLED before searching ``' word '``, so adjacent repeats
+    ('the the the') don't share delimiter spaces with the non-overlapping
+    replace-count (which would undercount them)."""
+    normalized = F.regexp_replace(col, rf"[{WS_CLASS}]+", " ")
+    padded = F.concat(
+        F.lit(" "), F.replace(normalized, F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
     needle = f" {word} "
     return (
         (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))

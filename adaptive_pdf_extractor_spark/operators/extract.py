@@ -55,6 +55,16 @@ PATH_DIRECT = "direct"   # resolved by the deterministic direct extractor
 PATH_NONE = "none"       # unresolved -> null output value
 
 
+def span_text_expr(ordered: str = "spans") -> str:
+    """SQL expression assembling a document's text from its span array:
+    concat of text-span text in offset order (the ONE definition of
+    'document text' — extraction and streaming dedup must agree on it)."""
+    return (
+        f"concat_ws('', transform({ordered},"
+        " s -> CASE WHEN s.kind = 'text' THEN coalesce(s.text, '') ELSE '' END))"
+    )
+
+
 def _make_udf(
     rulebook_bc, direct_extractor: Optional[Callable]
 ) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
@@ -110,9 +120,15 @@ def _make_udf(
                         dv[[x == "" for x in dv]] = None
                         v[got] = dv[got]
                         paths[got] = PATH_DIRECT
+                        miss = miss & ~got
                     col_vals.append(v.tolist())
                     col_ids.append(iid.tolist())
                     col_paths.append(paths.tolist())
+                    # unresolved = still no value AFTER the direct fallback:
+                    # norm_text (the mining payload) ships only for docs
+                    # with a genuinely unresolved field, so the final pass
+                    # doesn't push the whole slow-path corpus text over
+                    # Arrow for nothing
                     group_unres |= miss
                 if fields:
                     rows_v = list(map(list, zip(*col_vals)))
@@ -173,10 +189,7 @@ def extract_documents(
     prep = docs.select(
         "doc_id",
         "label",
-        F.expr(
-            f"concat_ws('', transform({ordered},"
-            " s -> CASE WHEN s.kind = 'text' THEN coalesce(s.text, '') ELSE '' END))"
-        ).alias("raw_text"),
+        F.expr(span_text_expr(ordered)).alias("raw_text"),
         F.expr("transform(schema_fields, f -> f.name)").alias("fields"),
         F.expr(
             f"transform(filter({ordered}, s -> s.kind = 'media'), s -> s.media_ref)"
@@ -208,8 +221,11 @@ def _build_output(extracted: DataFrame) -> DataFrame:
         "transform(arrays_zip(fields, rule_ids, paths), x ->"
         " struct(x.fields as field, x.rule_ids as rule_id, x.paths as path))"
     )
+    # a field is unresolved iff NO path produced a value (path 'none');
+    # direct-fallback-resolved fields have values and must not be reported
+    # unresolved in the manifest summary
     unresolved = F.expr(
-        "transform(filter(arrays_zip(fields, paths), x -> x.paths != 'rule'),"
+        "transform(filter(arrays_zip(fields, paths), x -> x.paths = 'none'),"
         " x -> x.fields)"
     )
     return extracted.select(

@@ -36,10 +36,21 @@ MANIFEST = "manifest.json"
 
 
 def _atomic_write_json(path: str, payload: dict) -> None:
+    """Write-then-rename with fsync on file AND directory: without the
+    fsyncs, a power loss right after commit can persist the rename before
+    the data blocks, leaving a truncated manifest that makes the run
+    unresumable (process kills alone don't need this; crashes do)."""
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(payload, f, ensure_ascii=False, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    dir_fd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dir_fd)
+    finally:
+        os.close(dir_fd)
 
 
 class RunManifest:

@@ -122,7 +122,7 @@ def stateful_label_hit_rate(extracted: DataFrame) -> DataFrame:
 
 def streaming_exact_dedup(
     docs: DataFrame,
-    text_expr: str = "concat_ws('', transform(spans, s -> coalesce(s.text, '')))",
+    text_expr: str | None = None,
     ts_col: str = "ingest_ts",
     watermark: str = "30 seconds",
 ) -> DataFrame:
@@ -136,11 +136,17 @@ def streaming_exact_dedup(
     If ``ts_col`` already exists it is used as-is (caller-supplied event
     time drives the watermark); only absent columns get a processing-time
     default."""
-    from ..functions.text import doc_fingerprint
+    from ..functions.text import doc_fingerprint_md5
+    from ..operators.extract import span_text_expr
 
-    # the SAME canonical content key as batch exact dedup — the batch and
-    # streaming twins must agree on what "identical content" means
-    with_fp = docs.withColumn("_fp", doc_fingerprint(F.expr(text_expr)))
+    # text assembly and content key are THE SAME definitions batch uses
+    # (extract.span_text_expr; md5 like dedup.exact_dedup_groups) — batch
+    # and streaming fingerprints are joinable, and the 128-bit key is
+    # collision-safe on an unbounded stream where 64 bits would hit
+    # birthday collisions around ~5B docs
+    if text_expr is None:
+        text_expr = span_text_expr()
+    with_fp = docs.withColumn("_fp", doc_fingerprint_md5(F.expr(text_expr)))
     if ts_col not in docs.columns:
         with_fp = with_fp.withColumn(ts_col, F.current_timestamp())
     return (

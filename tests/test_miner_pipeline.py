@@ -330,3 +330,32 @@ def test_resume_after_converged_commit_runs_no_extra_round(spark, tmp_path):
     assert len(pipe2.manifest.state["rounds"]) == n_rounds  # no extra round
     assert pipe2.final_rules() == rules_before  # weights untouched
     assert pipe2.manifest.complete
+
+
+def test_unresolved_excludes_direct_resolved_fields(spark):
+    """A field resolved by the direct fallback has a VALUE — it must not be
+    reported unresolved (the final manifest summary counts these), and its
+    doc must not ship norm_text over Arrow."""
+    from adaptive_pdf_extractor_spark.functions.rules import RuleBook
+    from adaptive_pdf_extractor_spark.operators import miner
+    from adaptive_pdf_extractor_spark.operators.extract import extract_documents
+    from adaptive_pdf_extractor_spark.sources import spark_io
+
+    docs = spark_io.synthetic_corpus_df(spark, seed=19, count=30, partitions=2)
+    out = extract_documents(
+        docs, RuleBook.from_rows([]), direct_extractor=miner.direct_extract_series
+    ).cache()
+    try:
+        # the synthetic template is fully direct-extractable
+        assert out.filter(F.size("unresolved") > 0).count() == 0
+        assert out.filter(F.col("norm_text").isNotNull()).count() == 0
+        paths = {
+            r["p"]
+            for r in out.select(F.explode("hits").alias("h"))
+            .select(F.col("h.path").alias("p"))
+            .distinct()
+            .collect()
+        }
+        assert paths == {"direct"}
+    finally:
+        out.unpersist()

@@ -148,3 +148,34 @@ def test_hash_split_stable_and_proportional(spark):
     assert abs(c["train"] / 2000 - 0.8) < 0.05
     assert abs(c["val"] / 2000 - 0.1) < 0.03
     assert abs(c["test"] / 2000 - 0.1) < 0.03
+
+
+def test_word_occurrences_whitespace_kinds_and_adjacent_repeats(spark):
+    """Newline/tab-separated tokens count, adjacent repeats count fully,
+    and the SQL oracle mirror agrees on exactly these cases."""
+    import duckdb
+
+    texts = ["the\nthe\tthe", "the the the", "the", "xthe thex", ""]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, t string")
+    got = {
+        r["id"]: (r["occ"], r["sw"])
+        for r in df.select(
+            "id",
+            T.word_occurrences(F.col("t"), "the").alias("occ"),
+            T.stopword_ratio(F.col("t")).alias("sw"),
+        ).collect()
+    }
+    assert got[0][0] == 3 and got[0][1] == 1.0
+    assert got[1][0] == 3 and got[1][1] == 1.0
+    assert got[2][0] == 1
+    assert got[3][0] == 0  # substrings are not tokens
+    assert got[4][0] == 0
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        (occ,) = con.execute(
+            f"SELECT {entry_mod._sql_occurrences('?', 'the')}".replace("?", "?"),
+            [t, t],
+        ).fetchone()
+        assert occ == got[i][0], (i, repr(t))
