@@ -801,16 +801,19 @@ def oracle_sql() -> dict[str, str]:
             freq AS (
                 SELECT l.source, l.tline AS key
                 FROM (SELECT DISTINCT source, cid, trim(line) AS tline
-                      FROM lines WHERE length(line) <= 200) l
+                      FROM lines
+                      WHERE length(line) <= 200 AND trim(line) <> '') l
                 JOIN totals t ON t.source = l.source
                 GROUP BY l.source, l.tline, t.n
                 HAVING count(*) >= 5 AND count(*) * 1.0 / t.n >= 0.6
             ),
             kept AS (
+                -- only vote-eligible lines may be stripped
                 SELECT l.doc_id, l.pos, l.line
                 FROM lines l
                 LEFT JOIN freq f
                   ON f.source = l.source AND f.key = trim(l.line)
+                 AND length(l.line) <= 200 AND trim(l.line) <> ''
                 WHERE f.key IS NULL
             )
             SELECT s.doc_id,

@@ -173,17 +173,22 @@ def reading_order_text(
     min_gap: float = 1.0,
 ) -> str:
     """blocks -> reading-ordered body text. Single-block documents pass
-    through verbatim (the SURVEY §2.11 identity invariant)."""
+    through verbatim (the SURVEY §2.11 identity invariant). Pages are
+    processed independently in page order — coordinates are page-local, so
+    cutting across pages would geometrically interleave their blocks."""
     if len(blocks) <= 1:
         return blocks[0].text if blocks else ""
-    if strip_header_footer and page_height:
-        blocks = [
-            b
-            for b, tag in classify_header_footer(blocks, page_height)
-            if tag == "body"
-        ]
-    ordered = xy_cut(blocks, min_gap=min_gap)
-    return "\n".join(b.text for b in ordered)
+    parts: list[str] = []
+    for page in sorted({b.page for b in blocks}):
+        pb = [b for b in blocks if b.page == page]
+        if strip_header_footer and page_height:
+            pb = [
+                b
+                for b, tag in classify_header_footer(pb, page_height)
+                if tag == "body"
+            ]
+        parts.extend(b.text for b in xy_cut(pb, min_gap=min_gap))
+    return "\n".join(parts)
 
 
 def strip_boilerplate_spans(
@@ -207,6 +212,9 @@ def strip_boilerplate_spans(
     frequent = (
         ex.filter(F.col("s.kind") == "text")
         .filter(F.length("s.text") <= max_span_len)
+        # blank/whitespace-only spans are structure, not boilerplate —
+        # never let them into the frequent vote
+        .filter(F.trim("s.text") != "")
         .select("label", "doc_id", F.xxhash64(F.trim("s.text")).alias("_fp"))
         .distinct()
         .groupBy("label", "_fp")
@@ -220,9 +228,15 @@ def strip_boilerplate_spans(
     )
     kept = ex.withColumn(
         "_fp",
+        # null keys never match the anti-join, so media spans, blank spans
+        # and over-length spans (ineligible to vote) are all kept — a span
+        # may only be stripped from the length class that was measured
         F.when(
-            F.col("s.kind") == "text", F.xxhash64(F.trim("s.text"))
-        ).otherwise(F.lit(None)),  # null keys never match the anti-join -> media kept
+            (F.col("s.kind") == "text")
+            & (F.length("s.text") <= max_span_len)
+            & (F.trim("s.text") != ""),
+            F.xxhash64(F.trim("s.text")),
+        ).otherwise(F.lit(None)),
     ).join(F.broadcast(frequent), ["label", "_fp"], "left_anti")
     new_spans = kept.groupBy("doc_id").agg(
         F.expr(
@@ -296,6 +310,8 @@ def boilerplate_strip(
     )
     freq = (
         lines.filter(F.length("_line") <= max_line_len)
+        # blank lines are paragraph structure, not site boilerplate
+        .filter(F.trim("_line") != "")
         .select("_src", F.xxhash64(F.trim("_line")).alias("_fp"), "_rid")
         .distinct()
         .groupBy("_src", "_fp")
@@ -316,7 +332,15 @@ def boilerplate_strip(
     # shape as strip_boilerplate_spans above.
     clean_col = f"{text_col}_clean"
     cleaned = (
-        lines.withColumn("_fp", F.xxhash64(F.trim("_line")))
+        lines.withColumn(
+            "_fp",
+            # only lines eligible to vote may be stripped (null key never
+            # matches): over-length and blank lines are kept unconditionally
+            F.when(
+                (F.length("_line") <= max_line_len) & (F.trim("_line") != ""),
+                F.xxhash64(F.trim("_line")),
+            ).otherwise(F.lit(None)),
+        )
         .join(F.broadcast(freq), ["_src", "_fp"], "left_anti")
         # identical rows share a _rid and exploded their lines once EACH;
         # (_rid, _pos) distinct re-assembles the document once (a repeated

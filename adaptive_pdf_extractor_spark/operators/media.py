@@ -51,20 +51,19 @@ except ImportError:
 
 
 def _pixel_stream(seed: int, n: int) -> np.ndarray:
-    """Deterministic uint8 stream (splitmix64-expanded)."""
-    out = np.empty(n, dtype=np.uint8)
-    state = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
-    golden = np.uint64(0x9E3779B97F4A7C15)
-    chunks = []
-    x = int(state)
-    for _ in range((n + 7) // 8):
-        x = (x + int(golden)) & 0xFFFFFFFFFFFFFFFF
-        z = x
-        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
-        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
-        chunks.append((z ^ (z >> 31)).to_bytes(8, "little"))
-    out = np.frombuffer(b"".join(chunks), dtype=np.uint8)[:n].copy()
-    return out
+    """Deterministic uint8 stream: splitmix64 of a counter, fully
+    vectorized (the counter states seed + i*golden are independent, so no
+    sequential loop is needed; little-endian uint64 view reproduces the
+    per-word to_bytes(8, 'little') layout bit-for-bit — pinned by test)."""
+    n_words = (n + 7) // 8
+    with np.errstate(over="ignore"):
+        x = np.uint64(seed & 0xFFFFFFFFFFFFFFFF) + np.arange(
+            1, n_words + 1, dtype=np.uint64
+        ) * np.uint64(0x9E3779B97F4A7C15)
+        z = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z.astype("<u8").view(np.uint8)[:n].copy()
 
 
 def make_fake_image(seed: int, width: int = 32, height: int = 32, channels: int = 3) -> bytes:
@@ -92,7 +91,15 @@ def make_fake_video(seed: int, n_frames: int = 30, width: int = 16, height: int 
 
 
 def _parse_fake(data: bytes) -> tuple[dict, np.ndarray]:
-    assert data[: len(FAKE_MAGIC)] == FAKE_MAGIC
+    if data[: len(FAKE_MAGIC)] != FAKE_MAGIC:
+        # the declared import-gated boundary, not a bare assert (which
+        # python -O would strip, silently slicing garbage out of real
+        # codec bytes)
+        raise NotImplementedError(
+            "real media decoding requires the codec libraries (PIL/av), "
+            "not present in this environment; only FAKEMEDIA containers "
+            "decode here"
+        )
     hlen = _struct.unpack("<I", data[len(FAKE_MAGIC) : len(FAKE_MAGIC) + 4])[0]
     off = len(FAKE_MAGIC) + 4
     header = json.loads(data[off : off + hlen].decode())

@@ -323,6 +323,7 @@ class ExtractionPipeline:
     ) -> DataFrame:
         """Run (or resume) the full pipeline; returns the output span table."""
         cfg = self.config
+        spans_before = None
         if cfg.strip_boilerplate:
             from ..operators.layout import strip_boilerplate_spans
 
@@ -334,21 +335,25 @@ class ExtractionPipeline:
                 min_doc_frac=cfg.boilerplate_min_doc_frac,
                 min_docs=cfg.boilerplate_min_docs,
             )
-            spans_after = docs.select(
-                F.sum(F.size("spans")).alias("n")
-            ).first()["n"] or 0
-            # north_star metric: boilerplate strip rate
-            self.manifest.state["boilerplate"] = {
-                "spans_before": int(spans_before),
-                "spans_after": int(spans_after),
-                "strip_rate": round(
-                    1 - spans_after / spans_before, 6
-                ) if spans_before else 0.0,
-            }
         if cfg.num_partitions:
             docs = salted_repartition(docs, cfg.num_partitions)
         docs = docs.persist()
         try:
+            if spans_before is not None:
+                # AFTER persist: this first action materializes the cache,
+                # so the two-shuffle strip plan executes exactly once
+                # (counting before persisting re-ran it for round 0)
+                spans_after = docs.select(
+                    F.sum(F.size("spans")).alias("n")
+                ).first()["n"] or 0
+                # north_star metric: boilerplate strip rate
+                self.manifest.state["boilerplate"] = {
+                    "spans_before": int(spans_before),
+                    "spans_after": int(spans_after),
+                    "strip_rate": round(
+                        1 - spans_after / spans_before, 6
+                    ) if spans_before else 0.0,
+                }
             start_round = self.manifest.last_completed_round() + 1
             if start_round > 0:
                 rules_rows = self.load_rules_snapshot(

@@ -65,7 +65,10 @@ def load_reference_json(path: str) -> list[dict]:
 
     The reference writes via json5 (src/data.py:117) but its shipped corpora
     are strict-JSON-parseable; fall back to a comment/trailing-comma strip
-    for json5-flavored files (data/real/dataset.json).
+    for json5-flavored files (data/real/dataset.json). The fallback is a
+    heuristic, not a json5 parser: a string VALUE containing ',}' / ',]'
+    or (last-resort tier only) '//' can still be altered — acceptable for
+    the reference's actual files, which contain neither.
     """
     with open(path, "r", encoding="utf-8") as f:
         raw = f.read()
@@ -237,6 +240,13 @@ def golden_output_rows(
     corpus = corpus or os.path.splitext(os.path.basename(dataset_path))[0]
     dataset = load_reference_json(dataset_path)
     results = load_reference_json(result_path)
+    if len(dataset) != len(results):
+        # zip would silently drop the tail and let a parity check pass
+        # vacuously for the missing documents
+        raise ValueError(
+            f"dataset ({len(dataset)} docs) and result file "
+            f"({len(results)} entries) disagree — truncated reference run?"
+        )
     rows = []
     for i, (rec, res) in enumerate(zip(dataset, results)):
         doc_id = reference_doc_id(corpus, i)

@@ -51,6 +51,9 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=None,
                     help="local mode only; ignored under a cluster master")
     args = ap.parse_args()
+    if not args.synthetic and not args.input:
+        # fail fast BEFORE paying JVM startup
+        ap.error("one of --input / --synthetic is required")
 
     from adaptive_pdf_extractor_spark.plans.pipeline import (
         ExtractionPipeline,
@@ -64,10 +67,8 @@ def main() -> None:
 
     if args.synthetic:
         docs = spark_io.synthetic_corpus_df(spark, seed=1, count=args.synthetic)
-    elif args.input:
-        docs = spark_io.read_table(spark, args.input)
     else:
-        ap.error("one of --input / --synthetic is required")
+        docs = spark_io.read_table(spark, args.input)
 
     initial_rules = (
         corpus_mod.reference_cache_to_rule_rows(args.rules) if args.rules else []

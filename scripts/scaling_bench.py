@@ -78,8 +78,17 @@ def run(cpus: int, n_docs: int, trials: int, pin: bool = True) -> dict:
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=2400, cwd=REPO
     )
-    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-    res = json.loads(line)
+    json_lines = [
+        ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")
+    ]
+    if out.returncode != 0 or not json_lines:
+        # surface the worker's real traceback instead of an IndexError
+        raise RuntimeError(
+            f"scaling worker (cpus={cpus}) failed rc={out.returncode}\n"
+            f"--- stdout tail ---\n{out.stdout[-2000:]}\n"
+            f"--- stderr tail ---\n{out.stderr[-4000:]}"
+        )
+    res = json.loads(json_lines[-1])
     res["pinned"] = pin
     return res
 

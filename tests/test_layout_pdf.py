@@ -281,3 +281,33 @@ def test_boilerplate_strip_keeps_fully_stripped_and_duplicate_docs(spark):
     assert by_id[100] == [""]  # fully-stripped doc survives, empty
     assert by_id[200] == ["dup body", "dup body"]
     assert by_id[0] == ["body 0"]
+
+
+def test_reading_order_pages_do_not_interleave():
+    """Coordinates are page-local: page 1's low-y blocks must not jump
+    ahead of page 0's high-y blocks."""
+    blocks = [
+        Block(text="p0-bottom", x0=0, y0=500, x1=100, y1=510, page=0),
+        Block(text="p1-top", x0=0, y0=100, x1=100, y1=110, page=1),
+        Block(text="p0-top", x0=0, y0=100, x1=100, y1=110, page=0),
+    ]
+    assert reading_order_text(blocks) == "p0-top\np0-bottom\np1-top"
+
+
+def test_boilerplate_strip_never_touches_blank_or_overlength_lines(spark):
+    """Blank lines are paragraph structure; over-length lines were not
+    eligible to vote — neither may be stripped."""
+    long_pad = "NAV" + " " * 300  # trims to frequent 'NAV' but len > 200
+    rows = [
+        {
+            "doc_id": i,
+            "source": "s",
+            "text": f"NAV\n\npara one {i}\n\npara two {i}\n{long_pad}",
+        }
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r["text_clean"] for r in
+           boilerplate_strip(df, min_doc_frac=0.6, min_docs=5).collect()}
+    # 'NAV' stripped; blank lines and the over-length padded line survive
+    assert out[0] == f"\npara one 0\n\npara two 0\n{long_pad}"

@@ -60,3 +60,34 @@ def test_video_frame_sample(spark):
     assert len(rows) == 9
     assert {r["frame_idx"] for r in rows} == {0, 10, 20}
     assert all(len(r["frame"]) == 16 * 16 * 3 for r in rows)
+
+
+def test_pixel_stream_vectorized_matches_reference_loop():
+    """The vectorized splitmix expansion must be bit-identical to the
+    sequential reference formulation."""
+    import numpy as np
+
+    from adaptive_pdf_extractor_spark.operators import media
+
+    def reference(seed, n):
+        chunks = []
+        x = seed & 0xFFFFFFFFFFFFFFFF
+        for _ in range((n + 7) // 8):
+            x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = x
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            chunks.append((z ^ (z >> 31)).to_bytes(8, "little"))
+        return np.frombuffer(b"".join(chunks), dtype=np.uint8)[:n].copy()
+
+    for seed, n in [(0, 1), (7, 8), (123, 33), (2**63 + 5, 1000)]:
+        assert np.array_equal(media._pixel_stream(seed, n), reference(seed, n))
+
+
+def test_parse_fake_rejects_real_bytes_loudly():
+    import pytest
+
+    from adaptive_pdf_extractor_spark.operators import media
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        media._parse_fake(b"\x00\x00\x00\x08realdata")
