@@ -362,3 +362,23 @@ def test_anchor_resume_exactness(spark, tmp_path):
     assert {k: a["anchor"] for k, a in pipe_b.anchors.items()} == {
         k: a["anchor"] for k, a in pipe_a.anchors.items()
     }
+
+
+def test_discover_anchors_label_with_internal_separator():
+    """Printed label 'Nome - Completo:' — the separator token drops out of
+    candidate n-grams, so 'Nome Completo' never occurs literally; the
+    occurrence check must fall back to a candidate that does (and the rule
+    still extracts)."""
+    texts, exps = [], []
+    for i in range(15):
+        v = f"{30000 + i * 11}"
+        texts.append(f"Nome - Completo: {v} Fim {i % 3}")
+        exps.append({"nome": v})
+    rows = miner_mod.discover_label_anchors(["nome"], {}, texts, exps)
+    anchor = rows[0]["anchor"]
+    assert all(anchor in t for t in texts), anchor  # literally present
+    # and the anchor actually drives extraction of the right value
+    got = miner_mod.direct_extract_value(
+        texts[0], "nome", ["nome"], anchors={"nome": anchor}
+    )
+    assert got is not None and "30000" in got
