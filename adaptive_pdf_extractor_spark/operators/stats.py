@@ -1,0 +1,76 @@
+"""Corpus statistics + deterministic splitting for training-data pipelines.
+
+Both operators are exact, engine-portable (md5 / pure relational algebra —
+no xxhash64, so DuckDB oracles reproduce them bit-for-bit) and shuffle-lean:
+
+* :func:`hash_split` — content-addressed train/val/test assignment. The
+  split must be a pure function of the document id so it is stable across
+  reruns, cluster sizes, and table repartitions (the property random
+  ``sampleBy`` lacks). The uniform key is 8 hex chars of md5(id); split
+  thresholds are hex strings, and lexicographic order on fixed-length
+  lowercase hex IS numeric order — identical in every engine, no
+  hex-to-int conversion needed.
+* :func:`top_terms` — global top-k token frequencies (explode -> two-level
+  hash aggregation with map-side combine -> TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def split_key(id_col: Column) -> Column:
+    """Deterministic uniform key: hex chars 25..32 of md5(id as string)."""
+    return F.substring(F.md5(id_col.cast("string")), 25, 8)
+
+
+def split_threshold_hex(cum_fraction: float) -> str:
+    """Hex-string threshold such that P(split_key < threshold) ==
+    cum_fraction (8 hex chars = 16^8 uniform buckets)."""
+    return format(min(int(round(cum_fraction * 16**8)), 16**8 - 1), "08x")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+) -> DataFrame:
+    """Assign every row a split label by cumulative key ranges, e.g.
+    ``{"train": 0.9, "val": 0.05, "test": 0.05}``. Ranges follow the
+    dict's insertion order; fractions must sum to <= 1 (any remainder goes
+    to the last split). Adds a ``split`` column; no shuffle (pure
+    projection over the scan)."""
+    assert fractions and sum(fractions.values()) <= 1.0 + 1e-9
+    key = split_key(F.col(id_col))
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = key < split_threshold_hex(cum)
+        expr = (
+            F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def top_terms(
+    df: DataFrame, text_col: str, k: int = 50, min_len: int = 1
+) -> DataFrame:
+    """Global top-k lowercased token frequencies with a deterministic
+    (count desc, term asc) tiebreak. Plan shape: explode -> partial+final
+    hash aggregate on the term -> TakeOrderedAndProject (k rows per
+    partition reach the final merge, never the full vocabulary)."""
+    terms = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .select(F.lower("t").alias("term"))
+        .filter(F.length("term") >= min_len)
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    return terms.orderBy(F.desc("n"), F.asc("term")).limit(k)
