@@ -77,3 +77,23 @@ def test_evaluation_reproduces_reference_numbers(spark):
     assert abs(acc.accuracy - 0.9826) < 0.0005
     assert acc.docs == 1000
     assert abs(acc.perfect_docs / acc.docs - 0.866) < 0.002
+
+
+def test_direct_only_beats_reference_llm_only_benchmark(spark):
+    """The reference's --no-use-cache mode (every field answered by the
+    LLM, 98.90% accuracy, README.md:32): the deterministic direct extractor
+    alone — empty rule set — must match or beat it on the same corpus."""
+    from adaptive_pdf_extractor_spark.operators import miner
+    from adaptive_pdf_extractor_spark.operators.extract import extract_documents
+    from adaptive_pdf_extractor_spark.plans.evaluate import field_accuracy
+    from adaptive_pdf_extractor_spark.sources import spark_io
+
+    docs = spark_io.reference_corpus_df(
+        spark, f"{DATASETS}/fake_dataset_1000samples_seed_1.json"
+    )
+    out = extract_documents(
+        docs, RuleBook.from_rows([]), direct_extractor=miner.direct_extract_series
+    )
+    acc = field_accuracy(out.select("doc_id", "spans"), docs)
+    assert acc.docs == 1000 and acc.fields == 8000
+    assert acc.accuracy >= 0.9890, f"direct-only accuracy {acc.accuracy:.4f}"
