@@ -382,3 +382,44 @@ def test_discover_anchors_label_with_internal_separator():
         texts[0], "nome", ["nome"], anchors={"nome": anchor}
     )
     assert got is not None and "30000" in got
+
+
+def test_pipeline_mixed_evidence_labels(spark, tmp_path):
+    """The realistic shape: within ONE label, some fields are printed under
+    their title-cased names, some under unrelated labels; ground truth is
+    present for only part of the corpus. Expected-path, similarity-path and
+    default anchors must coexist and the loop still learn to >= 0.9."""
+    template = [
+        ("nome", "digits"),          # printed as related "Nome Completo"
+        ("registro", "code"),        # printed as its title default
+        ("campo_x", "digits"),       # printed as unrelated "Situacao Geral"
+    ]
+    label_map = {"nome": "Nome Completo", "campo_x": "Situacao Geral"}
+    rows = _random_corpus(55, "mix", template, 160, label_map=label_map)
+    # hide ground truth for half the docs (hash-stable selection)
+    for r in rows:
+        if corpus_mod._stable_hash(r["doc_id"]) % 2 == 0:
+            r["expected_hidden"] = r["expected"]
+    docs_full = spark_io.input_df_from_rows(
+        spark, [{k: v for k, v in r.items() if k != "expected_hidden"} for r in rows]
+    )
+    blinded_rows = []
+    for r in rows:
+        rr = {k: v for k, v in r.items() if k != "expected_hidden"}
+        if "expected_hidden" in r:
+            rr = dict(rr)
+            rr["expected"] = None
+        blinded_rows.append(rr)
+    docs_blind = spark_io.input_df_from_rows(spark, blinded_rows)
+    pipe = ExtractionPipeline(
+        spark,
+        str(tmp_path / "mix"),
+        PipelineConfig(max_rounds=3, num_partitions=4),
+    )
+    out = pipe.run(docs_blind, initial_rules_rows=[], write_output=False)
+    acc = field_accuracy(out, docs_full)
+    assert acc.docs == 160
+    assert acc.accuracy > 0.9, f"accuracy {acc.accuracy:.3f} on mixed evidence"
+    anchors = {k[1]: a["anchor"] for k, a in pipe.anchors.items()}
+    assert anchors["campo_x"] == "Situacao Geral"  # only expected-path can
+    assert anchors["nome"] == "Nome Completo"
