@@ -771,12 +771,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_terms": f"""
             SELECT term, n FROM (
-                SELECT lower(t) AS term, count(*) AS n
+                SELECT translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                 'abcdefghijklmnopqrstuvwxyz') AS term,
+                       count(*) AS n
                 FROM (SELECT unnest(regexp_extract_all(
                           trim(text), '[^{_SQL_WS}]+')) AS t
                       FROM documents)
                 WHERE length(t) >= 2
-                GROUP BY lower(t)
+                GROUP BY 1
             ) ORDER BY n DESC, term ASC LIMIT 25
         """,
         "boilerplate_strip": """

@@ -169,9 +169,19 @@ def lsh_topk(
     neighbor most likely lands on the other side of). n_probes=1 is the
     single-bucket classic; raising it trades candidate volume for recall
     without re-hashing. The brute-force operator is the verifier."""
+    import numpy as np
+
     planes = hyperplanes(len(query_vec), n_planes, seed)
-    qdot = [sum(q * h for q, h in zip(query_vec, plane)) for plane in planes]
-    qbucket = sum((1 << p) for p, d in enumerate(qdot) if d >= 0)
+    # query bucket via the SAME numpy matmul kernel the corpus side uses
+    # (a sequential Python fold could disagree with BLAS on a dot within
+    # rounding of 0 and probe the wrong bucket); residual kernel variance
+    # is measure-zero for real data and multi-probe flips the lowest-
+    # margin bits anyway
+    qdot = (
+        np.array([query_vec], dtype=np.float64)
+        @ np.array(planes, dtype=np.float64).T
+    )[0]
+    qbucket = int(sum((1 << p) for p, d in enumerate(qdot) if d >= 0))
     by_margin = sorted(range(n_planes), key=lambda p: abs(qdot[p]))
     probes = [qbucket] + [
         qbucket ^ (1 << p) for p in by_margin[: max(0, n_probes - 1)]

@@ -43,7 +43,14 @@ def hash_split(
     dict's insertion order; fractions must sum to <= 1 (any remainder goes
     to the last split). Adds a ``split`` column; no shuffle (pure
     projection over the scan)."""
-    assert fractions and sum(fractions.values()) <= 1.0 + 1e-9
+    # explicit validation (never a bare assert: python -O strips those and
+    # a >1 sum would silently destroy the train/test separation)
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    if any(f <= 0 for f in fractions.values()):
+        raise ValueError(f"fractions must be positive: {fractions}")
+    if sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to > 1: {fractions}")
     key = split_key(F.col(id_col))
     names = list(fractions)
     cum = 0.0
@@ -59,17 +66,33 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_fold(col: Column) -> Column:
+    """ASCII-only case fold via translate — IDENTICAL in every engine for
+    every input. Full Unicode lower() is NOT: Java maps 'İ' to 'i' + a
+    combining dot (2 chars) where utf8proc/DuckDB map it to 'i', which
+    would break the top_terms oracle on such text."""
+    return F.translate(col, _UPPER, _LOWER)
+
+
 def top_terms(
     df: DataFrame, text_col: str, k: int = 50, min_len: int = 1
 ) -> DataFrame:
-    """Global top-k lowercased token frequencies with a deterministic
+    """Global top-k case-folded token frequencies with a deterministic
     (count desc, term asc) tiebreak. Plan shape: explode -> partial+final
     hash aggregate on the term -> TakeOrderedAndProject (k rows per
-    partition reach the final merge, never the full vocabulary)."""
+    partition reach the final merge, never the full vocabulary). Case
+    folding is ASCII-only (:func:`ascii_fold`) so the DuckDB oracle is
+    exact on all inputs; length filters apply to the raw token (fold
+    preserves length, so the distinction is moot — stated for the oracle
+    mirror)."""
     terms = (
         df.select(F.explode(tokens(F.col(text_col))).alias("t"))
-        .select(F.lower("t").alias("term"))
-        .filter(F.length("term") >= min_len)
+        .filter(F.length("t") >= min_len)
+        .select(ascii_fold(F.col("t")).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("n"))
     )

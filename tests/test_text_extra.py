@@ -179,3 +179,40 @@ def test_word_occurrences_whitespace_kinds_and_adjacent_repeats(spark):
             [t, t],
         ).fetchone()
         assert occ == got[i][0], (i, repr(t))
+
+
+def test_hash_split_validation_and_ascii_fold(spark):
+    """hash_split rejects bad fractions loudly (no bare assert); top_terms'
+    ASCII fold matches DuckDB on text where full Unicode lower() differs
+    between engines (Java lower('İ') is 2 chars, utf8proc's is 1)."""
+    import duckdb
+    import pytest
+
+    from adaptive_pdf_extractor_spark.operators import stats
+
+    ids = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="sum to > 1"):
+        stats.hash_split(ids, "doc_id", {"a": 0.9, "b": 0.9})
+    with pytest.raises(ValueError, match="positive"):
+        stats.hash_split(ids, "doc_id", {"a": 0.9, "b": -0.1})
+    with pytest.raises(ValueError, match="non-empty"):
+        stats.hash_split(ids, "doc_id", {})
+
+    df = spark.createDataFrame(
+        [(0, "İstanbul İstanbul Word word STRASSE")], "id int, t string"
+    )
+    got = sorted(
+        (r["term"], r["n"])
+        for r in stats.top_terms(df, "t", k=10, min_len=2).collect()
+    )
+    want = sorted(
+        duckdb.sql(
+            "SELECT translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+            " 'abcdefghijklmnopqrstuvwxyz') AS term, count(*) AS n"
+            " FROM (SELECT unnest(string_split("
+            "'İstanbul İstanbul Word word STRASSE', ' ')) AS t)"
+            " GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == want
+    assert ("İstanbul", 2) in got  # non-ASCII preserved identically
