@@ -297,6 +297,21 @@ def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation leg (SURVEY §2.7): documents added since a prior
+    snapshot — current EXCEPT prior by content identity (anti-join on the
+    md5 fingerprint, so a re-ingested identical doc under a new id does
+    NOT count as new). The incremental-update primitive of a continuously
+    refreshed corpus."""
+    cur = _docs(spark, sf_dir).select("doc_id", "text")
+    prior = cur.filter(F.col("doc_id") < 300)
+    prior_fp = prior.select(T.doc_fingerprint_md5(F.col("text")).alias("fp"))
+    added = cur.withColumn(
+        "fp", T.doc_fingerprint_md5(F.col("text"))
+    ).join(prior_fp, "fp", "left_anti")
+    return added.select("doc_id").orderBy("doc_id")
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment by md5 hex-key
     ranges: per-split doc counts (the split is a pure function of doc_id —
@@ -501,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "corpus_curation": q_corpus_curation,
         "boilerplate_strip": q_boilerplate_strip,
+        "corpus_delta": q_corpus_delta,
         "hash_split": q_hash_split,
         "top_terms": q_top_terms,
         "media_features": q_media_features,
@@ -756,6 +772,13 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": _SQL_CLUSTERS.format(
             src=f"({planted})", threshold=0.8
         ),
+        "corpus_delta": f"""
+            SELECT doc_id FROM documents
+            WHERE {_SQL_FINGERPRINT} NOT IN (
+                SELECT {_SQL_FINGERPRINT} FROM documents WHERE doc_id < 300
+            )
+            ORDER BY doc_id
+        """,
         "hash_split": f"""
             SELECT split, count(*) AS n_docs FROM (
                 SELECT CASE
