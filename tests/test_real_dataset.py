@@ -105,3 +105,69 @@ def test_catalog_dispatch_iceberg_requires_runtime(spark, tmp_path):
 def test_catalog_dispatch_unknown(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown catalog"):
         spark_io.write_table(spark.range(1), str(tmp_path / "u"), catalog="orc")
+
+
+def test_pipeline_learns_real_schemas_under_description_labels(spark, tmp_path):
+    """The reference's REAL two-label schemas (carteira_oab, tela_sistema —
+    data/real/dataset.json), with documents printing each field under a
+    label drawn from its DESCRIPTION (never the schema name): the adaptive
+    loop must still learn them. This is the closest sandbox analog of the
+    real-PDF task without pypdf: real schemas, arbitrary rendered labels."""
+    from adaptive_pdf_extractor_spark.plans.evaluate import field_accuracy
+    from adaptive_pdf_extractor_spark.plans.pipeline import (
+        ExtractionPipeline,
+        PipelineConfig,
+    )
+
+    recs = corpus_mod.load_reference_json(REAL_DATASET)
+    # one schema per label (first record of each)
+    schemas = {}
+    for rec in recs:
+        schemas.setdefault(rec["label"], rec["extraction_schema"])
+
+    def label_for(field, desc):
+        # printed label = first two meaningful description words, title-cased
+        words = [w for w in desc.replace(",", " ").split() if len(w) > 2][:2]
+        return " ".join(w.title() for w in words) or field.title()
+
+    rows = []
+    for label, schema in schemas.items():
+        fields = list(schema)
+        for i in range(120):
+            doc_id = f"{label}/{i:05d}"
+            rng = corpus_mod._Rng(corpus_mod._stable_hash(f"real:{doc_id}"))
+            parts, expected = [], {}
+            for f in fields:
+                printed = label_for(f, schema[f])
+                if rng.random() < 0.75:
+                    v = str(rng.randint(10**5, 10**9))
+                    expected[f] = v
+                    parts.append(f"{printed} {v}")
+                else:
+                    expected[f] = None
+                    parts.append(printed)
+            text = "\n".join(parts)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "spans": corpus_mod.text_to_spans(doc_id, text),
+                    "label": label,
+                    "schema_fields": [
+                        {"name": f, "description": schema[f]} for f in fields
+                    ],
+                    "expected": [
+                        {"name": f, "value": expected[f]} for f in fields
+                    ],
+                }
+            )
+    docs = spark_io.input_df_from_rows(spark, rows)
+    pipe = ExtractionPipeline(
+        spark,
+        str(tmp_path / "real_schemas"),
+        PipelineConfig(max_rounds=3, num_partitions=4),
+    )
+    out = pipe.run(docs, initial_rules_rows=[], write_output=False)
+    acc = field_accuracy(out, docs)
+    assert acc.docs == 240
+    assert acc.accuracy > 0.9, f"accuracy {acc.accuracy:.3f} on real schemas"
+    assert {k[0] for k in pipe.anchors} == set(schemas)
