@@ -300,12 +300,18 @@ def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation leg (SURVEY §2.7): documents added since a prior
     snapshot — current EXCEPT prior by content identity (anti-join on the
-    md5 fingerprint, so a re-ingested identical doc under a new id does
-    NOT count as new). The incremental-update primitive of a continuously
-    refreshed corpus."""
-    cur = _docs(spark, sf_dir).select("doc_id", "text")
-    prior = cur.filter(F.col("doc_id") < 300)
-    prior_fp = prior.select(T.doc_fingerprint_md5(F.col("text")).alias("fp"))
+    md5 fingerprint). The current side includes PLANTED re-ingestions
+    (docs < 100 duplicated under new ids with identical text) that must
+    NOT appear as new — the content-identity semantics are load-bearing in
+    the gate, not vacuously true of the data."""
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    reingested = base.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    cur = base.unionByName(reingested)
+    prior_fp = base.filter(F.col("doc_id") < 300).select(
+        T.doc_fingerprint_md5(F.col("text")).alias("fp")
+    )
     added = cur.withColumn(
         "fp", T.doc_fingerprint_md5(F.col("text"))
     ).join(prior_fp, "fp", "left_anti")
@@ -773,9 +779,20 @@ def oracle_sql() -> dict[str, str]:
             src=f"({planted})", threshold=0.8
         ),
         "corpus_delta": f"""
-            SELECT doc_id FROM documents
-            WHERE {_SQL_FINGERPRINT} NOT IN (
-                SELECT {_SQL_FINGERPRINT} FROM documents WHERE doc_id < 300
+            WITH cur AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 500000 AS doc_id, text
+                FROM documents WHERE doc_id < 100
+            ),
+            prior AS (SELECT {_SQL_FINGERPRINT} AS fp
+                      FROM documents WHERE doc_id < 300)
+            -- NOT EXISTS, not NOT IN: anti-join semantics under NULLs
+            SELECT doc_id FROM cur
+            WHERE NOT EXISTS (
+                SELECT 1 FROM prior p
+                WHERE p.fp = md5(lower(regexp_replace(trim(cur.text),
+                                 '[{_SQL_WS}]+', ' ', 'g')))
             )
             ORDER BY doc_id
         """,
