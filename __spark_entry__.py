@@ -58,10 +58,12 @@ def _flagship(spark: SparkSession, sf_dir: str, max_rounds: int = 3) -> DataFram
         spark, seed=13, count=n_docs, corpus="flagship"
     )
     # stable, reused run dir (a mkdtemp per call leaked snapshot dirs
-    # across repeated bench/driver invocations)
+    # across repeated bench/driver invocations); PID-keyed so two live
+    # processes (a bench and a test session) can't rmtree each other's
+    # run dir mid-pipeline — one dir per process, reused within it
     run_dir = os.path.join(
         tempfile.gettempdir(),
-        f"flagship_run_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"flagship_run_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
     shutil.rmtree(run_dir, ignore_errors=True)
     pipe = ExtractionPipeline(
@@ -215,6 +217,20 @@ def q_winnowing_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnowing_sketch_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-oracled winnowing: the engine-portable md5 variant exploded
+    to (doc_id, fingerprint) rows so DuckDB verifies EVERY fingerprint
+    value, not just sketch sizes (xxhash64 stays the production fast
+    path — q_winnowing_sketch)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.explode(
+            T.winnowing_fingerprints_md5(F.col("text"), k=7, window=4)
+        ).alias("fingerprint"),
+    )
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -243,10 +259,15 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(d, "doc_id", "text")
 
 
-def _planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents(doc_id<100) unioned with mutated copies (id+100000, first
-    ten chars dropped) — deterministic near-duplicates for the dedup ops."""
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select("doc_id", "text")
+def _planted_dups(
+    spark: SparkSession, sf_dir: str, n: int | None = 100
+) -> DataFrame:
+    """documents(doc_id<n, or all of them when n is None) unioned with
+    mutated copies (id+100000, first ten chars dropped) — deterministic
+    near-duplicates for the dedup ops."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    if n is not None:
+        d = d.filter(F.col("doc_id") < n)
     mutated = d.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.expr("substring(text, 11)").alias("text"),
@@ -372,19 +393,17 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_clean")
 
 
-def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-data curation over the planted-dup corpus:
-    quality gate -> exact dedup (min-id keeper per fingerprint) -> near-dup
-    clustering -> keep cluster canonicals -> per-doc token stats. The
-    composition a 100 TB data-prep pipeline runs, verified as ONE oracled
-    query (quality + md5 groupBy + recursive-CTE components in DuckDB)."""
-    docs = _planted_dups(spark, sf_dir)
+def curation_pipeline(docs: DataFrame, pair_fn) -> DataFrame:
+    """The end-to-end training-data curation composition: quality gate ->
+    exact dedup (min-id keeper per fingerprint) -> near-dup pair stage
+    (``pair_fn``: kept-docs frame -> (id_a, id_b, ...) pairs) -> connected
+    components -> keep cluster canonicals -> per-doc token stats. ONE
+    composition, two registered pair stages: the exact quadratic generator
+    (the DuckDB oracle) and minhash-LSH (the 100 TB path)."""
     scored = docs.withColumn("quality", T.quality_score(F.col("text")))
     kept = scored.filter(F.col("quality") >= 0.5)
     kept = dedup.exact_dedup_keep(kept, "doc_id", "text")
-    pairs = dedup.ngram_jaccard_pairs(
-        kept, "doc_id", "text", shingle_n=5, threshold=0.8
-    )
+    pairs = pair_fn(kept)
     clusters = dedup.neardup_clusters(
         kept.select(F.col("doc_id").alias("id")), pairs
     )
@@ -396,6 +415,38 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         T.token_count(F.col("text")).cast("long").alias("n_tokens"),
         "quality",
+    )
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation over the planted-dup corpus with
+    the EXACT pair stage — the composition verified as ONE oracled query
+    (quality + md5 groupBy + recursive-CTE components in DuckDB). The pair
+    stage is quadratic by design (it's the oracle); the scale twin is
+    q_corpus_curation_lsh."""
+    return curation_pipeline(
+        _planted_dups(spark, sf_dir),
+        lambda kept: dedup.ngram_jaccard_pairs(
+            kept, "doc_id", "text", shingle_n=5, threshold=0.8
+        ),
+    )
+
+
+def q_corpus_curation_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same curation composition with minhash-LSH as the pair stage,
+    over the FULL documents table + planted mutations (10-50x the oracle
+    query's corpus depending on sf) — no quadratic stage anywhere: banded
+    buckets cut candidates before any payload join, components contract in
+    O(log n) rounds. Rows-only in the driver gate (the LSH path is verified
+    equal to the exact composition on the oracled corpus in
+    tests/test_dedup_similarity.py, the same pattern as
+    embedding_neardup_lsh)."""
+    return curation_pipeline(
+        _planted_dups(spark, sf_dir, n=None),
+        lambda kept: dedup.minhash_lsh_pairs(
+            kept, "doc_id", "text",
+            shingle_n=5, num_hashes=128, bands=32, threshold=0.8,
+        ).select("id_a", "id_b"),
     )
 
 
@@ -515,12 +566,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "bpe_token_count": q_bpe_token_count,
         "winnowing_sketch": q_winnowing_sketch,
+        "winnowing_sketch_md5": q_winnowing_sketch_md5,
         "lang_id_dist": q_lang_id_dist,
         "exact_dedup": q_exact_dedup,
         "minhash_neardup": q_minhash_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "neardup_clusters": q_neardup_clusters,
         "corpus_curation": q_corpus_curation,
+        "corpus_curation_lsh": q_corpus_curation_lsh,
         "boilerplate_strip": q_boilerplate_strip,
         "corpus_delta": q_corpus_delta,
         "hash_split": q_hash_split,
@@ -761,6 +814,33 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT {_sql_lang_pred()} AS lang_pred FROM documents)
             GROUP BY lang_pred
         """,
+        # Window minima over fixed-width md5-hex gram hashes: lexicographic
+        # order on fixed-length lowercase hex IS numeric order, so min()
+        # agrees across engines (same trick as hash_split). Frame CURRENT
+        # ROW..3 FOLLOWING truncates at the partition end, so docs with
+        # fewer grams than the window yield exactly one whole-array min —
+        # matching the numpy branch for len(h) <= window.
+        "winnowing_sketch_md5": """
+            WITH base AS (SELECT doc_id, lower(text) AS t
+                          FROM documents WHERE doc_id < 50),
+            idx AS (SELECT doc_id, t,
+                           unnest(generate_series(
+                               1, greatest(length(t) - 6, 1))) AS i
+                    FROM base),
+            grams AS (SELECT doc_id, i,
+                             substring(md5(substr(t, CAST(i AS INT), 7)),
+                                       1, 16) AS gh
+                      FROM idx),
+            mins AS (SELECT doc_id, i,
+                            min(gh) OVER (
+                                PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                            ) AS m,
+                            count(*) OVER (PARTITION BY doc_id) AS n
+                     FROM grams)
+            SELECT DISTINCT doc_id, m AS fingerprint
+            FROM mins WHERE i <= greatest(n - 3, 1)
+        """,
         "exact_dedup": f"""
             SELECT {_SQL_FINGERPRINT} AS fingerprint,
                    min(doc_id) AS canonical_id,
@@ -950,8 +1030,8 @@ FROM kept k JOIN canon ON k.doc_id = canon.doc_id
             FROM documents
         """,
         # adaptive_extract, simhash_neardup, ann_lsh_topk, ann_ivf_topk,
-        # winnowing_sketch, embedding_neardup_lsh, media_features:
-        # intentionally no oracle (iterative/approximate/hash-engine-
-        # specific/binary-decode) -> rows-only; each is pinned by a
-        # dedicated exactness/recall/decode test instead.
+        # winnowing_sketch, embedding_neardup_lsh, corpus_curation_lsh,
+        # media_features: intentionally no oracle (iterative/approximate/
+        # hash-engine-specific/binary-decode) -> rows-only; each is pinned
+        # by a dedicated exactness/recall/decode test instead.
     }

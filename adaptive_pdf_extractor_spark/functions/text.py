@@ -241,6 +241,98 @@ def winnowing_fingerprints_columns(
     return F.array_sort(F.array_distinct(mins))
 
 
+def _gram_md5_hex(col: Column, k: int, width: int = 16) -> Column:
+    """Fixed-width md5-hex prefix of every k-gram of the lowercased text
+    (one interpreted transform pass — JVM md5 per gram, same shape as
+    :func:`_gram_hashes`). Lexicographic order on fixed-length lowercase
+    hex IS numeric order, identical in every engine — the same trick
+    operators/stats.hash_split uses — which makes window MINIMA over these
+    strings ANSI-reproducible where xxhash64 minima are not."""
+    lowered = F.lower(col)
+    n_grams = F.greatest(F.length(lowered) - (k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.substring(F.md5(lowered.substr(i, F.lit(k))), 1, width),
+    )
+
+
+def winnowing_minima_str_np(window: int, width: int = 16):
+    """Hex-string twin of :func:`winnowing_minima_np`: fixed-width (<= 16
+    chars == 64 bits) hex gram hashes in, distinct-sorted window minima
+    out. numpy can't reduce byte-string dtypes, so each hex string parses
+    to uint64 — numeric order on the integers IS lexicographic order on
+    the fixed-length hex — and the sliding minima run as the same numpy
+    reduce the xxhash64 path uses, formatting back to hex on the way out."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    if width > 16:
+        raise ValueError(f"width must be <= 16 hex chars (64 bits): {width}")
+    fmt = f"0{width}x"
+
+    def mins(hashes):
+        out = []
+        for hs in hashes:
+            if hs is None:
+                out.append(None)
+                continue
+            if len(hs) == 0:
+                out.append([])
+                continue
+            if any(x is None for x in hs):
+                # md5(null) is null (unlike xxhash64, which hashes the
+                # seed), so a null TEXT arrives as [null]. Mirror the
+                # Column spec exactly: array_min skips nulls (null only if
+                # a window is all-null), array_sort puts nulls last.
+                n_w = max(len(hs) - (window - 1), 1)
+                win_mins = []
+                for w in range(n_w):
+                    vals = [x for x in hs[w : w + window] if x is not None]
+                    win_mins.append(min(vals) if vals else None)
+                uniq = sorted({m for m in win_mins if m is not None})
+                if None in win_mins:
+                    uniq.append(None)
+                out.append(uniq)
+                continue
+            h = np.array([int(x, 16) for x in hs], dtype=np.uint64)
+            if len(h) <= window:
+                m = h.min(keepdims=True)
+            else:
+                m = np.lib.stride_tricks.sliding_window_view(h, window).min(
+                    axis=1
+                )
+            out.append([format(int(v), fmt) for v in np.unique(m)])
+        return pd.Series(out)
+
+    mins.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
+    return pandas_udf("array<string>")(mins)
+
+
+def winnowing_fingerprints_md5(
+    col: Column, k: int = 7, window: int = 4, width: int = 16
+) -> Column:
+    """Engine-portable winnowing sketch: identical semantics to
+    :func:`winnowing_fingerprints` but with md5-hex-prefix gram hashes, so
+    a DuckDB oracle reproduces every fingerprint exactly (xxhash64 is the
+    faster production path; this is the cross-engine-verifiable one).
+    Numpy fast path, pinned bit-identical to the Column spec below."""
+    return winnowing_minima_str_np(window, width)(_gram_md5_hex(col, k, width))
+
+
+def winnowing_fingerprints_md5_columns(
+    col: Column, k: int = 7, window: int = 4, width: int = 16
+) -> Column:
+    """Column-algebra executable spec of :func:`winnowing_fingerprints_md5`
+    (interpreted; pin target only — do not use in the hot path)."""
+    gram_hashes = _gram_md5_hex(col, k, width)
+    n_windows = F.greatest(F.size(gram_hashes) - (window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda w: F.array_min(F.slice(gram_hashes, w, window)),
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
 def doc_fingerprint_md5(col: Column) -> Column:
     """Portable variant of :func:`doc_fingerprint` (md5 hex — identical in
     every engine, used when a cross-engine oracle must reproduce it)."""

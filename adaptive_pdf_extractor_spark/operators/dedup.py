@@ -414,8 +414,82 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _star_edges(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Contract a pair graph to stars around each component's minimum id
+    via alternating large-star/small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm). Returns the fixpoint edge set ``(u, v)`` with ``u`` = the
+    component minimum and one row per non-center node ``v``.
+
+    Round count is O(log n) INDEPENDENT of component diameter — the
+    property min-label propagation lacks (a length-d chain costs d
+    propagation rounds but only ~log d contraction rounds). Each round is
+    two edge-list shuffles (groupBy u / groupBy v) + a distinct; nothing
+    corpus-sized iterates, and the per-round localCheckpoint keeps the
+    plan from growing with the loop.
+    """
+    e = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("u"),
+            F.greatest("id_a", "id_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if e.isEmpty():
+        return e
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        # large-star: for every node u, connect each LARGER neighbor v to
+        # m(u) = min(N(u) ∪ {u}). Connectivity-preserving; strictly shrinks
+        # tall structures.
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        e1 = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: direct edges large->small (key = the larger endpoint
+        # v, neighbors = its smaller side u); connect each smaller neighbor
+        # AND v itself to m(v) = min of that neighborhood. After e1 every
+        # edge already has u < v, so e1 is that directed form.
+        mins2 = e1.groupBy("v").agg(F.min("u").alias("m"))
+        small = (
+            e1.join(mins2, "v")
+            .select(F.col("m").alias("u"), F.col("u").alias("v"))
+            .unionByName(
+                mins2.select(F.col("m").alias("u"), F.col("v").alias("v"))
+            )
+        )
+        new_e = (
+            small.filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_n = new_e.count()
+        # fixpoint test on the canonical (u<v) distinct sets: equal counts
+        # + empty one-sided difference <=> equal sets <=> stars reached
+        if new_n == n_edges and new_e.join(e, ["u", "v"], "left_anti").isEmpty():
+            return new_e
+        e, n_edges = new_e, new_n
+    # O(log n) rounds means 30 covers any graph that fits on Earth; if we
+    # get here something is deeply wrong — never return a partial answer
+    # (it would silently split components).
+    raise RuntimeError(
+        f"star contraction did not reach a fixpoint in {max_rounds} rounds"
+    )
+
+
 def neardup_clusters(
-    ids: DataFrame, pairs: DataFrame, max_iterations: int = 12
+    ids: DataFrame, pairs: DataFrame, max_iterations: int = 30
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: each node gets
     ``canonical_id`` = min id in its component (plus the component size) —
@@ -423,14 +497,40 @@ def neardup_clusters(
     duplicate CLUSTER, not per pair: pairs (a,b),(b,c) must collapse to one
     keeper even though (a,c) was never emitted).
 
-    Iterative min-label propagation over the symmetrized edge list,
-    converging in <= component-diameter rounds (near-dup components are
-    shallow stars/cliques in practice; capped at ``max_iterations`` with a
-    convergence check per round). Scale shape: every round is one shuffle
-    of the EDGE list (the candidate pairs — tiny relative to the corpus)
-    joined to the current labels; nothing corpus-sized iterates.
+    Runs alternating large-star/small-star contraction (:func:`_star_edges`)
+    — O(log n) rounds regardless of component diameter, so web-scale chain
+    components (which broke the diameter-bound min-label propagation kept
+    below as :func:`neardup_clusters_minlabel`) converge in a handful of
+    edge-list shuffles.
 
     ids: one column ``id``; pairs: columns ``id_a``, ``id_b``.
+    """
+    from pyspark.sql.window import Window
+
+    stars = _star_edges(pairs, max_rounds=max_iterations)
+    centers = stars.groupBy(F.col("v").alias("id")).agg(
+        F.min("u").alias("lab")
+    )
+    labels = ids.join(centers, "id", "left").select(
+        F.col("id").alias("doc_id"),
+        F.coalesce("lab", "id").alias("canonical_id"),
+    )
+    return labels.withColumn(
+        "cluster_size",
+        F.count("*").over(Window.partitionBy("canonical_id")),
+    )
+
+
+def neardup_clusters_minlabel(
+    ids: DataFrame, pairs: DataFrame, max_iterations: int = 12
+) -> DataFrame:
+    """Reference formulation of :func:`neardup_clusters`: iterative
+    min-label propagation over the symmetrized edge list. Converges in
+    component-diameter + 1 rounds (the final round verifies zero changes),
+    capped at ``max_iterations`` with a loud failure — which a chain-shaped
+    component longer than the cap WILL trip; that diameter dependence is
+    why the star-contraction version is the default. Kept as the executable
+    spec the default is pinned against (tests assert identical output).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -450,13 +550,18 @@ def neardup_clusters(
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("lab").alias("nlab"))
             )
+            # localCheckpoint, not persist: persist truncates recompute but
+            # NOT the logical plan, and Catalyst's cost on a plan nesting N
+            # rounds of joins grows super-linearly — ~10+ unconverged
+            # rounds OOMed the driver (measured on a 40-node chain).
+            # Checkpointing resets the plan to a leaf each round.
             new_labels = (
                 labels.join(nbr, "id", "left")
                 .select(
                     "id",
                     F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
             changed = (
                 new_labels.alias("n")
@@ -474,9 +579,12 @@ def neardup_clusters(
             # component into several (wrong canonical_id AND cluster_size);
             # long chains (diameter > max_iterations) must fail loudly.
             raise RuntimeError(
-                f"neardup_clusters did not converge in {max_iterations} "
-                "rounds — a component's diameter exceeds the cap; raise "
-                "max_iterations (rounds needed = graph diameter)"
+                f"neardup_clusters_minlabel did not converge in "
+                f"{max_iterations} rounds; rounds needed = graph diameter "
+                "+ 1 (the final zero-change verification round). Raise "
+                "max_iterations — or use neardup_clusters (star "
+                "contraction), whose rounds are O(log n) regardless of "
+                "diameter"
             )
         from pyspark.sql.window import Window
 

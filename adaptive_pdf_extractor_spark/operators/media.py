@@ -92,14 +92,13 @@ def make_fake_video(seed: int, n_frames: int = 30, width: int = 16, height: int 
 
 def _parse_fake(data: bytes) -> tuple[dict, np.ndarray]:
     if data[: len(FAKE_MAGIC)] != FAKE_MAGIC:
-        # the declared import-gated boundary, not a bare assert (which
-        # python -O would strip, silently slicing garbage out of real
-        # codec bytes)
-        raise NotImplementedError(
-            "real media decoding requires the codec libraries (PIL/av), "
-            "not present in this environment; only FAKEMEDIA containers "
-            "decode here"
-        )
+        # Container-format error, not the codec-availability boundary: the
+        # input may simply be corrupt, and the real libs may even be
+        # importable. The import-gated NotImplementedError lives at each
+        # decoder's dispatch layer (decode_image, video_frame_sample).
+        # Never a bare assert (python -O would strip it, silently slicing
+        # garbage out of non-FAKEMEDIA bytes).
+        raise ValueError("not a FAKEMEDIA container")
     hlen = _struct.unpack("<I", data[len(FAKE_MAGIC) : len(FAKE_MAGIC) + 4])[0]
     off = len(FAKE_MAGIC) + 4
     header = json.loads(data[off : off + hlen].decode())
@@ -227,7 +226,16 @@ def video_frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
             for ref, kind, data in zip(pdf["media_ref"], pdf["kind"], pdf["data"]):
                 if kind != "video":
                     continue
-                h, payload = _parse_fake(bytes(data))
+                raw = bytes(data)
+                if raw[: len(FAKE_MAGIC)] != FAKE_MAGIC:
+                    # dispatch layer: real video containers need av, which
+                    # is absent here (import-gated stub boundary)
+                    raise NotImplementedError(
+                        "real video decoding requires av, not present in "
+                        "this container; ship it via --py-files/conda env "
+                        "on a real cluster"
+                    )
+                h, payload = _parse_fake(raw)
                 frame_sz = h["w"] * h["h"] * 3
                 for idx in range(0, h["frames"], every_n):
                     rows.append(

@@ -248,7 +248,10 @@ def train_ivf_centroids(
         .collect()
     )
     if not rows:  # tiny corpus edge: take what exists
-        rows = df.select(vec_col).distinct().limit(sample).collect()
+        # same over-collect bound as the main path — the sha1 sort below is
+        # what makes the truncation partition-independent, and it can only
+        # do that if limit() didn't already take a partition-prefix subset
+        rows = df.select(vec_col).distinct().limit(16 * sample).collect()
     rows.sort(
         key=lambda r: hashlib.sha1(str(list(r[0])).encode("utf-8")).digest()
     )

@@ -22,7 +22,17 @@ def span_parity(output: DataFrame, golden: DataFrame) -> Row:
     ``total`` is the GOLDEN doc count (left join from golden): an output
     that dropped documents scores those as unequal instead of silently
     shrinking the denominator — an empty output reads as 0.0 parity, never
-    1.0."""
+    1.0. Duplicate output doc_ids would multiply golden rows through the
+    join (inflating total AND letting one equal copy mask an unequal one),
+    so they fail loudly instead of skewing the score."""
+    dup_ids = (
+        output.groupBy("doc_id").count().filter(F.col("count") > 1).count()
+    )
+    if dup_ids:
+        raise ValueError(
+            f"span_parity: output has {dup_ids} duplicate doc_id(s); parity "
+            "is defined over one output row per document"
+        )
     joined = golden.alias("b").join(output.alias("a"), "doc_id", "left")
     equal_expr = F.when(
         F.col("a.spans").isNotNull() & spans_equal_expr(), 1

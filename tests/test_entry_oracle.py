@@ -88,6 +88,7 @@ def test_rows_only_queries_run(spark):
         "ann_ivf_topk",
         "winnowing_sketch",
         "embedding_neardup_lsh",
+        "corpus_curation_lsh",
         "media_features",
     }
     for name in sorted(no_oracle):

@@ -79,6 +79,37 @@ def test_winnowing_np_matches_column_reference(spark):
         assert r["fast2"] == r["ref2"], r["id"]
 
 
+def test_winnowing_md5_np_matches_column_reference(spark):
+    """The md5 (engine-portable) winnowing fast path must be bit-identical
+    to its Column-algebra spec on the same degenerate edges, and must obey
+    the same guarantee shape as the xxhash64 variant (one fingerprint for
+    short/empty text)."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "abc", "", None, "x" * 500,
+        " ".join(str(i) for i in range(300)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, t string"
+    )
+    rows = df.select(
+        "id",
+        T.winnowing_fingerprints_md5(F.col("t")).alias("fast"),
+        T.winnowing_fingerprints_md5_columns(F.col("t")).alias("ref"),
+        T.winnowing_fingerprints_md5(F.col("t"), k=4, window=7).alias("fast2"),
+        T.winnowing_fingerprints_md5_columns(F.col("t"), k=4, window=7).alias(
+            "ref2"
+        ),
+    ).collect()
+    for r in rows:
+        assert r["fast"] == r["ref"], r["id"]
+        assert r["fast2"] == r["ref2"], r["id"]
+    by_id = {r["id"]: r for r in rows}
+    assert len(by_id[1]["fast"]) == 1  # "abc": single whole-text window
+    assert len(by_id[2]["fast"]) == 1  # "": hash of empty substring
+    assert by_id[3]["fast"] is None or by_id[3]["fast"] == by_id[3]["ref"]
+
+
 def test_tokens_boundary_whitespace_and_oracle_parity(spark):
     """Boundary whitespace (incl. non-space kinds F.trim misses) must not
     create counted empty tokens, and token/BPE counts plus the exact-dedup
