@@ -36,7 +36,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _flagship(spark: SparkSession, sf_dir: str, max_rounds: int = 3) -> DataFrame:
+def _flagship(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 3, fresh: bool = True
+) -> DataFrame:
     """Adaptive extraction end-to-end: derive a deterministic interleaved
     span corpus keyed by the documents table's doc_ids, learn rules from
     scratch (miner + iterative broadcast), extract, and return the flat
@@ -51,11 +53,13 @@ def _flagship(spark: SparkSession, sf_dir: str, max_rounds: int = 3) -> DataFram
     )
     from adaptive_pdf_extractor_spark.sources import spark_io
 
-    # corpus size keyed by the sf's documents table; generation itself is
-    # distributed (order-independent per-id seeding), never driver-side
-    n_docs = _docs(spark, sf_dir).count()
-    docs = spark_io.synthetic_corpus_df(
-        spark, seed=13, count=n_docs, corpus="flagship"
+    # Span corpus DERIVED from the sf's documents table itself: field
+    # values are token windows of each row's real text and the raw text
+    # rides along as body (corpus.record_from_text) — the flagship
+    # exercises ingestion of driver-provided data, not a row-count-keyed
+    # synthetic twin. Derivation runs distributed over the parquet scan.
+    docs = spark_io.corpus_from_documents_df(
+        _docs(spark, sf_dir), seed=13, corpus="flagship"
     )
     # stable, reused run dir (a mkdtemp per call leaked snapshot dirs
     # across repeated bench/driver invocations); PID-keyed so two live
@@ -65,7 +69,12 @@ def _flagship(spark: SparkSession, sf_dir: str, max_rounds: int = 3) -> DataFram
         tempfile.gettempdir(),
         f"flagship_run_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}",
     )
-    shutil.rmtree(run_dir, ignore_errors=True)
+    if fresh:
+        shutil.rmtree(run_dir, ignore_errors=True)
+    # fresh=False resumes from whatever this process's previous run
+    # committed: a converged manifest skips the learn loop entirely and
+    # pays only the final extraction pass — the steady-state cost of a
+    # production rerun (bench.py's adaptive_extract_resume point).
     pipe = ExtractionPipeline(
         spark,
         run_dir,
@@ -315,6 +324,24 @@ def q_embedding_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         k=10,
+    )
+
+
+def q_embedding_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pre-pruned batch k-NN at 10x q_embedding_knn_join's query count
+    (50 queries): each query scores only its nprobe=4 probed buckets of 16,
+    not the corpus — the composition for large query batches. Rows-only
+    (approximate by design); full-probe equality with the exact join and
+    pruned recall are pinned in tests/test_dedup_similarity.py."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.knn_join_ivf(
+        e.filter(F.col("vec_id") >= 50),
+        e.filter(F.col("vec_id") < 50),
+        "vec_id",
+        "embedding",
+        k=10,
+        n_centroids=16,
+        nprobe=4,
     )
 
 
@@ -580,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "media_features": q_media_features,
         "embedding_knn_join": q_embedding_knn_join,
+        "embedding_knn_join_ivf": q_embedding_knn_join_ivf,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -1031,7 +1059,8 @@ FROM kept k JOIN canon ON k.doc_id = canon.doc_id
         """,
         # adaptive_extract, simhash_neardup, ann_lsh_topk, ann_ivf_topk,
         # winnowing_sketch, embedding_neardup_lsh, corpus_curation_lsh,
-        # media_features: intentionally no oracle (iterative/approximate/
-        # hash-engine-specific/binary-decode) -> rows-only; each is pinned
-        # by a dedicated exactness/recall/decode test instead.
+        # embedding_knn_join_ivf, media_features: intentionally no oracle
+        # (iterative/approximate/hash-engine-specific/binary-decode) ->
+        # rows-only; each is pinned by a dedicated exactness/recall/decode
+        # test instead.
     }

@@ -330,6 +330,105 @@ def ivf_topk(
     return brute_force_topk(probed, id_col, vec_col, query_vec, k)
 
 
+def ivf_probe_assign(
+    df: DataFrame, vec_col: str, centroids, nprobe: int
+) -> DataFrame:
+    """Adds ``_probes``: the ``nprobe`` nearest centroid ids per vector
+    (one Arrow-batched numpy matmul + argpartition per batch) — the query
+    side of the IVF join; :func:`ivf_assign`'s argmax is the special case
+    nprobe=1 on the corpus side."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    cent = np.array(centroids, dtype=np.float64).T  # dim x k
+    n_cent = cent.shape[1]
+    p = min(nprobe, n_cent)
+
+    def probes(vecs):
+        out = []
+        for batch_start in range(0, len(vecs), 4096):
+            chunk = vecs.iloc[batch_start : batch_start + 4096]
+            m = np.array([list(v) for v in chunk], dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
+            sims = m @ cent
+            # top-p by similarity, ties broken by centroid id for
+            # determinism (argsort of (-sim, idx) lexicographic)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :p]
+            out.extend(order.astype("int32").tolist())
+        return pd.Series(out)
+
+    probes.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    udf = pandas_udf("array<int>")(probes)
+    return df.withColumn("_probes", udf(F.col(vec_col)))
+
+
+def knn_join_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    centroids=None,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-pre-pruned batch k-NN join: each query scores only the corpus
+    vectors in its ``nprobe`` probed buckets instead of the whole corpus —
+    the composition :func:`knn_join`'s docstring promises for large query
+    batches. Corpus side: one bucket per vector (argmax centroid,
+    :func:`ivf_assign`). Query side: ``nprobe`` buckets per vector,
+    exploded and broadcast. The bucket equi-join replaces the cross join,
+    so the per-query candidate set (and the row_number window's shuffle)
+    shrinks ~n_centroids/nprobe-fold vs exact.
+
+    With ``nprobe >= n_centroids`` every bucket is probed and the result
+    equals :func:`knn_join` exactly (each corpus vector lives in exactly
+    one bucket) — the equality pin tests use this. Approximate otherwise;
+    recall-vs-exact is tested."""
+    from pyspark.sql.window import Window
+
+    from .dedup import _spread
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, vec_col, n_centroids=n_centroids, seed=seed
+        )
+    assigned = ivf_assign(_spread(corpus), id_col, vec_col, centroids).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+        "_ivf",
+    )
+    qx = (
+        ivf_probe_assign(queries, vec_col, centroids, nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qvec"),
+            F.explode("_probes").alias("_ivf"),
+        )
+    )
+    cos = _dot(F.col("cvec"), F.col("qvec")) / (
+        _norm(F.col("cvec")) * _norm(F.col("qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        assigned.join(F.broadcast(qx), "_ivf")
+        .withColumn("_cos", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rk",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+        )
+    )
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,

@@ -468,6 +468,20 @@ def synth_record(seed: int, doc_id: str) -> dict[str, Any]:
             chunks.append((title, None))
     if rng.random() < 0.33:
         rng.shuffle(chunks)
+    text = _render_chunks(rng, chunks)
+    return {
+        "doc_id": doc_id,
+        "pdf_text": text,
+        "label": DEFAULT_LABEL,
+        "schema_fields": [{"name": n, "description": d} for n, d in DEFAULT_SCHEMA],
+        "expected": [{"name": n, "value": v} for n, v in expected.items()],
+    }
+
+
+def _render_chunks(rng: "_Rng", chunks: list) -> str:
+    """Shared chunk renderer: the reference generator's separator mix
+    (scripts/generate_fake_data.py:271-274) applied to (title, value)
+    pairs."""
     seps = ["\n"] * 8 + [""] * 2 + [" "] * 6 + ["   "] * 2 + ["\t"] * 2
     text = ""
     for title, value in chunks:
@@ -476,9 +490,46 @@ def synth_record(seed: int, doc_id: str) -> dict[str, Any]:
         text += rng.choice(seps)
         if value is not None:
             text += value
+    return text
+
+
+def record_from_text(seed: int, doc_id: str, text: str) -> dict[str, Any]:
+    """Deterministic span-corpus record whose field values and body COME
+    FROM the given document text (the driver-provided ``documents.text``):
+    every present field's ground-truth value is a token window drawn from
+    the text by a (seed, doc_id)-keyed PRNG, the chunks render through the
+    same title/presence/shuffle/separator distributions as
+    :func:`synth_record`, and the ORIGINAL text is appended verbatim as
+    trailing body content. So the flagship corpus provably derives from
+    the real table: change the text and both the values and the body
+    change (pinned by test)."""
+    rng = _Rng(_stable_hash(f"{seed}:{doc_id}"))
+    toks = text.split()
+
+    def pick_value() -> str:
+        if not toks:
+            return f"tok{rng.next() % 997}"  # degenerate empty-text doc
+        n = rng.randint(1, 3)
+        start = rng.next() % len(toks)
+        return " ".join(toks[start : start + n]) or toks[-1]
+
+    chunks: list[tuple[Optional[str], Optional[str]]] = []
+    expected: dict[str, Optional[str]] = {}
+    for fname, _desc in DEFAULT_SCHEMA:
+        present = rng.random() < 0.7
+        title = fname.replace("_", " ").title()
+        if present:
+            expected[fname] = pick_value()
+            chunks.append((title, expected[fname]))
+        else:
+            expected[fname] = None
+            chunks.append((title, None))
+    if rng.random() < 0.33:
+        rng.shuffle(chunks)
+    rendered = _render_chunks(rng, chunks) + "\n" + text
     return {
         "doc_id": doc_id,
-        "pdf_text": text,
+        "pdf_text": rendered,
         "label": DEFAULT_LABEL,
         "schema_fields": [{"name": n, "description": d} for n, d in DEFAULT_SCHEMA],
         "expected": [{"name": n, "value": v} for n, v in expected.items()],

@@ -88,6 +88,36 @@ def synthetic_corpus_df(
     return rng_df.mapInPandas(gen, schema=INPUT_DDL)
 
 
+def corpus_from_documents_df(
+    docs_df: DataFrame, seed: int, corpus: str = "fromdocs"
+) -> DataFrame:
+    """Span-table corpus derived from a real documents table (columns
+    ``doc_id``, ``text``): each row becomes an input record via
+    ``corpus.record_from_text`` — field values drawn from the row's text,
+    original text appended as body — chunked into spans. Distributed
+    mapInPandas over the source scan (no driver materialization; same
+    order-independent per-id determinism as :func:`synthetic_corpus_df`)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = f"{corpus}/{int(did):09d}"
+                rec = corpus_mod.record_from_text(seed, doc_id, text or "")
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "spans": corpus_mod.text_to_spans(doc_id, rec["pdf_text"]),
+                        "label": rec["label"],
+                        "schema_fields": rec["schema_fields"],
+                        "expected": rec["expected"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs_df.select("doc_id", "text").mapInPandas(gen, schema=INPUT_DDL)
+
+
 CATALOGS = ("parquet", "iceberg")
 
 

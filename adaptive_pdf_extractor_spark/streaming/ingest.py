@@ -156,6 +156,157 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_minhash_neardup(
+    docs: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ingest_ts",
+    watermark_seconds: int = 300,
+    threshold: float = 0.8,
+    shingle_n: int = 5,
+    num_hashes: int = 128,
+    bands: int = 32,
+    checkpoint_dir: Optional[str] = None,
+):
+    """Streaming minhash-LSH NEAR-dup dedup: the approximate twin of
+    :func:`streaming_exact_dedup`. Each micro-batch runs the batch LSH
+    operator (``dedup.minhash_lsh_pairs`` — banded buckets, signature
+    prefilter, exact-Jaccard verify, signatures via the numpy permutation
+    bank) over batch ∪ state inside ``foreachBatch``; batch docs that
+    near-match an already-emitted doc are dropped, one canonical (min id)
+    survives per within-batch cluster, and survivors append to ``out_dir``.
+
+    State is the set of previously emitted docs within the event-time
+    horizon: rows older than ``max(event_time seen) - watermark_seconds``
+    are pruned every batch, so state size is bounded by arrival rate x
+    watermark — the only formulation that survives an unbounded stream
+    (exactly the bound ``dropDuplicatesWithinWatermark`` gives the exact
+    path; near-dup needs a similarity join no built-in stateful operator
+    expresses, hence foreachBatch + an explicit versioned state table).
+    A near-dup arriving after its original aged out IS re-emitted — the
+    same contract the built-in watermarked dedup has.
+
+    State versions are written to ``state_dir/v=<batch_id>`` (write-new-
+    then-read pattern: parquet can't overwrite a dir that feeds the same
+    plan); on a real cluster this is one small Iceberg/Delta table with
+    snapshot replace. Returns the started StreamingQuery.
+    """
+    import os
+
+    from ..operators import dedup as dedup_ops
+
+    def _latest_state(spark: SparkSession):
+        if not os.path.isdir(state_dir):
+            return None
+        versions = sorted(
+            (d for d in os.listdir(state_dir) if d.startswith("v=")),
+            key=lambda d: int(d.split("=", 1)[1]),
+        )
+        if not versions:
+            return None
+        return spark.read.parquet(os.path.join(state_dir, versions[-1]))
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.select(
+                F.col(id_col).alias("id"),
+                F.col(text_col).alias("text"),
+                F.col(ts_col).alias("ts"),
+            )
+            .dropDuplicates(["id"])
+            .persist()
+        )
+        if batch.isEmpty():
+            batch.unpersist()
+            return
+        state = _latest_state(spark)
+        if state is None:
+            state = spark.createDataFrame([], batch.schema)
+        # Evict BEFORE matching: the horizon advances with this batch's max
+        # event time, and an original older than (max_ts - watermark) must
+        # no longer suppress anything — otherwise state is only pruned one
+        # batch late and a post-horizon near-dup is wrongly dropped.
+        max_ts = (
+            batch.select(F.col("ts").alias("t"))
+            .unionByName(state.select(F.col("ts").alias("t")))
+            .agg(F.max("t"))
+            .first()[0]
+        )
+        horizon = F.lit(max_ts) - F.expr(f"INTERVAL {watermark_seconds} SECOND")
+        state = state.select("id", "text", "ts").filter(F.col("ts") >= horizon)
+        union = batch.unionByName(state)
+        pairs = dedup_ops.minhash_lsh_pairs(
+            union,
+            "id",
+            "text",
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+        ).persist()
+        state_ids = state.select(F.col("id").alias("sid"))
+        # batch docs near-matching an already-emitted (state) doc drop out
+        vs_state = (
+            pairs.join(state_ids, pairs.id_a == F.col("sid"), "left_semi")
+            .select(F.col("id_b").alias("id"))
+            .unionByName(
+                pairs.join(
+                    state_ids, pairs.id_b == F.col("sid"), "left_semi"
+                ).select(F.col("id_a").alias("id"))
+            )
+            .distinct()
+        )
+        survivors1 = batch.join(vs_state, "id", "left_anti")
+        # within-batch clusters among the remaining docs: keep min id
+        s1_ids = survivors1.select("id")
+        s1_pairs = (
+            pairs.join(
+                survivors1.select(F.col("id").alias("id_a")), "id_a", "left_semi"
+            )
+            .join(
+                survivors1.select(F.col("id").alias("id_b")), "id_b", "left_semi"
+            )
+            .select("id_a", "id_b")
+        )
+        clusters = dedup_ops.neardup_clusters(s1_ids, s1_pairs)
+        keep_ids = clusters.filter(
+            F.col("doc_id") == F.col("canonical_id")
+        ).select(F.col("doc_id").alias("id"))
+        survivors = survivors1.join(keep_ids, "id", "left_semi").persist()
+
+        survivors.select(
+            F.col("id").alias(id_col),
+            F.col("text").alias(text_col),
+            F.col("ts").alias(ts_col),
+        ).write.mode("append").parquet(out_dir)
+
+        # new state = (live state ∪ survivors) within the horizon (the
+        # state side is already filtered; a late-arriving survivor older
+        # than the horizon must not re-enter)
+        new_state = (
+            state.unionByName(survivors.select("id", "text", "ts"))
+            .filter(F.col("ts") >= horizon)
+        )
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v={batch_id}")
+        )
+        pairs.unpersist()
+        survivors.unpersist()
+        batch.unpersist()
+
+    writer = (
+        docs.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def file_stream_source(
     spark: SparkSession, path: str, max_files_per_trigger: Optional[int] = None
 ) -> DataFrame:

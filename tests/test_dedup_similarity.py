@@ -307,6 +307,59 @@ def test_knn_join_matches_per_query_brute_force(vectors):
         assert sorted(got[qid]) == expect, qid
 
 
+def test_knn_join_ivf_full_probe_equals_exact(vectors):
+    """With nprobe == n_centroids every bucket is probed, so the IVF
+    bucket equi-join must reproduce knn_join exactly (each corpus vector
+    lives in exactly one bucket — no pair is scored twice or missed)."""
+    queries = vectors.filter(F.col("vec_id").isin([3, 7]))
+    corpus = vectors.filter(~F.col("vec_id").isin([3, 7]))
+    cents = similarity.train_ivf_centroids(corpus, "embedding", n_centroids=8)
+    ivf = {
+        tuple(r)
+        for r in similarity.knn_join_ivf(
+            corpus, queries, "vec_id", "embedding",
+            k=5, centroids=cents, nprobe=8,
+        ).collect()
+    }
+    exact = {
+        tuple(r)
+        for r in similarity.knn_join(
+            corpus, queries, "vec_id", "embedding", k=5
+        ).collect()
+    }
+    assert ivf == exact and len(ivf) == 10
+
+
+def test_knn_join_ivf_pruned_recall(vectors):
+    """nprobe=4 of 16 centroids: per-query recall vs the exact join stays
+    high on the 200-vector corpus, and the planted near-dup pair is found
+    (query 3's clone 900 shares its nearest-centroid bucket)."""
+    queries = vectors.filter(F.col("vec_id").isin([3, 7]))
+    corpus = vectors.filter(~F.col("vec_id").isin([3, 7]))
+    cents = similarity.train_ivf_centroids(corpus, "embedding", n_centroids=16)
+    ivf_rows = similarity.knn_join_ivf(
+        corpus, queries, "vec_id", "embedding",
+        k=5, centroids=cents, nprobe=4,
+    ).collect()
+    exact_rows = similarity.knn_join(
+        corpus, queries, "vec_id", "embedding", k=5
+    ).collect()
+    got, exp = {}, {}
+    for r in ivf_rows:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in exact_rows:
+        exp.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert 900 in got[3]  # planted clone of query 3
+    for qid in (3, 7):
+        assert len(got[qid] & exp[qid]) / 5 >= 0.6, qid
+    # determinism: identical call -> identical rows
+    again = similarity.knn_join_ivf(
+        corpus, queries, "vec_id", "embedding",
+        k=5, centroids=cents, nprobe=4,
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, ivf_rows))
+
+
 def test_neardup_clusters_minlabel_raises_on_unconverged_chain(spark):
     """The diameter-bound min-label spec must fail loudly (never return
     silently-split clusters) when a chain outlasts its round cap."""

@@ -89,6 +89,7 @@ def test_rows_only_queries_run(spark):
         "winnowing_sketch",
         "embedding_neardup_lsh",
         "corpus_curation_lsh",
+        "embedding_knn_join_ivf",
         "media_features",
     }
     for name in sorted(no_oracle):
@@ -104,3 +105,42 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["doc_id", "field", "value", "field_pos"]
+
+
+def test_flagship_corpus_derives_from_documents_text(spark):
+    """The flagship span corpus must provably derive from the driver's
+    documents.text: every present ground-truth value is a token window of
+    the source row's text, the raw text rides verbatim at the body's tail,
+    and perturbing the text changes the derived record."""
+    from adaptive_pdf_extractor_spark.sources import spark_io
+    from adaptive_pdf_extractor_spark.sources.corpus import record_from_text
+
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    texts = {r["doc_id"]: r["text"] for r in src.collect()}
+    corpus = spark_io.corpus_from_documents_df(
+        src, seed=13, corpus="flagship"
+    ).collect()
+    assert len(corpus) == len(texts)
+    n_vals = 0
+    for row in corpus:
+        base = texts[int(row["doc_id"].split("/")[-1])]
+        toks = set(base.split())
+        for e in row["expected"]:
+            if e["value"] is not None:
+                n_vals += 1
+                assert all(t in toks for t in e["value"].split()), (
+                    row["doc_id"], e,
+                )
+        # text spans reassemble to the rendered doc, whose tail is the
+        # ORIGINAL text verbatim
+        reassembled = "".join(
+            s["text"]
+            for s in sorted(row["spans"], key=lambda s: s["offset"])
+            if s["kind"] == "text"
+        )
+        assert reassembled.endswith("\n" + base)
+    assert n_vals > 0  # presence is 0.7/field: some values must exist
+    # sensitivity: same (seed, doc_id), different text -> different record
+    a = record_from_text(13, "flagship/000000007", "alpha beta gamma delta")
+    b = record_from_text(13, "flagship/000000007", "wholly other words here")
+    assert a["pdf_text"] != b["pdf_text"] and a["expected"] != b["expected"]

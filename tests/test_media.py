@@ -85,9 +85,15 @@ def test_pixel_stream_vectorized_matches_reference_loop():
 
 
 def test_parse_fake_rejects_real_bytes_loudly():
+    """_parse_fake raises a container-format ValueError (the bytes may be
+    merely corrupt); the import-gated NotImplementedError lives at the
+    decoder dispatch layers instead (decode_image for real images,
+    video_frame_sample for real videos)."""
     import pytest
 
     from adaptive_pdf_extractor_spark.operators import media
 
-    with pytest.raises(NotImplementedError, match="codec"):
+    with pytest.raises(ValueError, match="FAKEMEDIA"):
         media._parse_fake(b"\x00\x00\x00\x08realdata")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        media.decode_image(b"\x89PNG\r\n\x1a\nnotreally")

@@ -97,3 +97,33 @@ def test_knn_join_broadcasts_query_set(spark):
     plan = _executed(entry_mod.q_embedding_knn_join(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_knn_join_ivf_is_bucket_equijoin(spark):
+    """The IVF-pre-pruned k-NN join must be a hash equi-join on the bucket
+    id with the exploded query side broadcast — the nested-loop scan of
+    the whole corpus per query is exactly what it exists to avoid."""
+    plan = _executed(entry_mod.q_embedding_knn_join_ivf(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_corpus_curation_lsh_no_cartesian(spark):
+    """The scale curation pipeline must contain no cartesian/nested-loop
+    stage anywhere: pair generation is banded LSH buckets, clustering is
+    edge-list star contraction."""
+    plan = _executed(entry_mod.q_corpus_curation_lsh(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair stage itself (executed eagerly inside the clustering loop,
+    # so not part of the final frame's plan): banded bucket equi-joins only
+    from adaptive_pdf_extractor_spark.operators import dedup
+
+    pair_plan = _executed(
+        dedup.minhash_lsh_pairs(
+            entry_mod._planted_dups(spark, SF), "doc_id", "text", threshold=0.8
+        )
+    )
+    assert "CartesianProduct" not in pair_plan
+    assert "BroadcastNestedLoopJoin" not in pair_plan

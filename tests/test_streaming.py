@@ -150,6 +150,88 @@ def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
     assert len(bases) == 60
 
 
+def test_streaming_minhash_neardup_cross_batch_and_state_bound(spark, tmp_path):
+    """Streaming minhash-LSH near-dup: a near-duplicate arriving in a LATER
+    micro-batch is suppressed while its original is inside the watermark
+    horizon; within-batch clusters keep one canonical; and a near-dup
+    arriving after the original aged out of state IS re-emitted (the state
+    bound is real, not cosmetic)."""
+    import time
+
+    from pyspark.sql.types import (
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    texts = [
+        corpus_mod.synth_record(seed=53, doc_id=f"s/{i}")["pdf_text"]
+        for i in range(10)
+    ]
+    src = str(tmp_path / "nd_src")
+    out_dir = str(tmp_path / "nd_out")
+    state_dir = str(tmp_path / "nd_state")
+
+    def write_batch(rows, ts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in rows], "doc_id string, text string"
+        ).withColumn("ingest_ts", F.to_timestamp(F.lit(ts)))
+        df.repartition(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    # batch 1: ten originals
+    write_batch([(f"b/{i}", texts[i]) for i in range(10)], "2030-01-01 00:00:00")
+    # batch 2 (60s later, inside the 300s watermark): a near-dup of b/0
+    # (must be suppressed), a fresh doc, and a near-dup of that fresh doc
+    # in the SAME batch (cluster keeps the min id)
+    fresh = corpus_mod.synth_record(seed=59, doc_id="f/0")["pdf_text"]
+    write_batch(
+        [("dup/0", texts[0][12:]), ("new/0", fresh), ("new/1", fresh[12:])],
+        "2030-01-01 00:01:00",
+    )
+    # batch 3 (hours later: b/1 aged out of state): near-dup of b/1 emits
+    write_batch([("late/1", texts[1][12:])], "2030-01-01 06:00:00")
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+            StructField("ingest_ts", TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ingest.streaming_minhash_neardup(
+        stream,
+        state_dir,
+        out_dir,
+        watermark_seconds=300,
+        checkpoint_dir=str(tmp_path / "nd_chk"),
+    )
+    q.awaitTermination(240)
+
+    out_ids = {
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    }
+    assert {f"b/{i}" for i in range(10)} <= out_ids
+    assert "dup/0" not in out_ids  # near-dup of in-state b/0: suppressed
+    assert "new/0" in out_ids and "new/1" not in out_ids  # in-batch cluster
+    assert "late/1" in out_ids  # original aged out -> re-emitted
+    assert len(out_ids) == 12
+
+    # the state bound: after batch 3 only rows within (max_ts - 300s)
+    # survive — i.e. exactly late/1
+    import os
+
+    versions = sorted(
+        (d for d in os.listdir(state_dir) if d.startswith("v=")),
+        key=lambda d: int(d.split("=", 1)[1]),
+    )
+    final_state = spark.read.parquet(os.path.join(state_dir, versions[-1]))
+    assert {r["id"] for r in final_state.collect()} == {"late/1"}
+
+
 def test_streaming_dedup_keeps_caller_event_time(spark, tmp_path):
     """A caller-supplied event-time column must drive the watermark and
     survive to the output (not be clobbered by processing time)."""

@@ -181,6 +181,33 @@ def test_hash_split_stable_and_proportional(spark):
     assert abs(c["test"] / 2000 - 0.1) < 0.03
 
 
+def test_hash_split_chi_square_uniformity(spark):
+    """Distribution-tolerance property at 100k+ sequential ids: the
+    3-way split's chi-square statistic (2 degrees of freedom) must stay
+    below 30 — p < 1e-6 under uniformity would be ~27.6, so a key-
+    derivation change that skews train/test (e.g. hashing only low bits,
+    or a biased threshold) fails loudly while honest md5 noise (expected
+    chi2 ~ 2) passes with two orders of margin. Sequential ids are the
+    adversarial input here: a weak hash correlates adjacent ids."""
+    from adaptive_pdf_extractor_spark.operators import stats
+
+    n = 120_000
+    fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    ids = spark.range(0, n, 1, 8).withColumnRenamed("id", "doc_id")
+    counts = {
+        r["split"]: r["c"]
+        for r in stats.hash_split(ids, "doc_id", fractions)
+        .groupBy("split")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert set(counts) == set(fractions)
+    chi2 = sum(
+        (counts[s] - n * f) ** 2 / (n * f) for s, f in fractions.items()
+    )
+    assert chi2 < 30.0, (chi2, counts)
+
+
 def test_word_occurrences_whitespace_kinds_and_adjacent_repeats(spark):
     """Newline/tab-separated tokens count, adjacent repeats count fully,
     and the SQL oracle mirror agrees on exactly these cases."""
