@@ -198,6 +198,81 @@ def q_events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.3 breadth): every click event enriched with
+    the value of the user's most recent purchase at-or-before it —
+    union + carry-forward window (one shuffle on the key, nothing
+    quadratic; operators/joins.py). Oracle: a true DuckDB ASOF LEFT JOIN,
+    independently implemented semantics."""
+    from adaptive_pdf_extractor_spark.operators.joins import asof_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ref_value"))
+    )
+    left = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(left, right, "user_id", "ts", "ref_value")
+    # named so the unique non-null event_id sorts first in column-name
+    # order: a nullable primary sort column breaks order-insensitive row
+    # comparison (None is unordered vs float in the compare harness)
+    return out.select(
+        "event_id", F.round("asof_value", 2).alias("prior_purchase_value")
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user: start, end
+    (last event + gap), event count, value sum. Spark's session_window in
+    batch mode; oracle: gaps-and-islands SQL (lag -> break flag ->
+    running-sum island id) in DuckDB."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return agg.select(
+        "user_id",
+        F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals (SURVEY §2.4 breadth): ROLLUP (hour,
+    event_type) — per-(hour, type) counts, per-hour subtotals, grand
+    total in one pass. Rollup nulls are coalesced to 'ALL' on BOTH sides
+    (mixed null/str cells break order-insensitive value comparison)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hours = e.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+        "event_type",
+        "value",
+    )
+    return (
+        hours.rollup("hour", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("hour", F.lit("ALL")).alias("hour"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -429,7 +504,12 @@ def curation_pipeline(docs: DataFrame, pair_fn) -> DataFrame:
     (the DuckDB oracle) and minhash-LSH (the 100 TB path)."""
     scored = docs.withColumn("quality", T.quality_score(F.col("text")))
     kept = scored.filter(F.col("quality") >= 0.5)
-    kept = dedup.exact_dedup_keep(kept, "doc_id", "text")
+    # persist: kept feeds THREE consumers (the pair stage, the cluster id
+    # set, and the final stats join) — without it the quality-score regex
+    # bank and the dedup agg re-run per consumer (measured 2.3x on the
+    # LSH variant at 10k docs). At true corpus scale this materializes as
+    # a table write instead (same role: evaluate the gate once).
+    kept = dedup.exact_dedup_keep(kept, "doc_id", "text").persist()
     pairs = pair_fn(kept)
     clusters = dedup.neardup_clusters(
         kept.select(F.col("doc_id").alias("id")), pairs
@@ -589,6 +669,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_window": q_top_orders_window,
         "events_tumbling": q_events_tumbling,
         "events_running_sum": q_events_running_sum,
+        "events_asof_join": q_events_asof_join,
+        "events_sessions": q_events_sessions,
+        "events_rollup": q_events_rollup,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "bpe_token_count": q_bpe_token_count,
@@ -817,6 +900,52 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        # True ASOF JOIN on the oracle side — independently implemented
+        # semantics vs the Spark union+carry-forward window
+        "events_asof_join": """
+            WITH r AS (SELECT user_id, ts, max(value) AS ref_value
+                       FROM events WHERE event_type = 'purchase'
+                       GROUP BY 1, 2),
+                 l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click')
+            SELECT l.event_id,
+                   round(r.ref_value, 2) AS prior_purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # Session semantics: a gap of EXACTLY the window closes the session
+        # (Spark session windows are [start, last+gap) half-open), hence >=
+        "events_sessions": """
+            WITH o AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts
+                            ) >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            i AS (SELECT *, sum(brk) OVER (
+                      PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sess
+                  FROM o)
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts) + INTERVAL 30 MINUTE,
+                            '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM i GROUP BY user_id, sess
+        """,
+        "events_rollup": """
+            SELECT coalesce(hour, 'ALL') AS hour,
+                   coalesce(event_type, 'ALL') AS event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM (SELECT strftime(date_trunc('hour', ts),
+                                  '%Y-%m-%d %H:%M:%S') AS hour,
+                         event_type, value
+                  FROM events)
+            GROUP BY ROLLUP (hour, event_type)
         """,
         "doc_token_stats": f"""
             SELECT doc_id,

@@ -443,9 +443,9 @@ def knn_join(
 
     Scale note: the window shuffles (query_id, neighbor_id, cosine) — 24
     bytes x |corpus| x |queries| — fine for batch scoring with a bounded
-    query set; for large query batches over a huge corpus, pre-prune with
-    the IVF/LSH bucketed operators and k-NN-join only within probed
-    buckets."""
+    query set; for large query batches over a huge corpus use
+    :func:`knn_join_ivf`, which prunes each query's candidates to its
+    probed IVF buckets before the window."""
     from pyspark.sql.window import Window
 
     from .dedup import _spread

@@ -79,6 +79,30 @@ def main() -> None:
     docs_per_sec = round(FASTPATH_DOCS / timings["fastpath_extract"], 1)
     corpus.unpersist()
 
+    # Sustained fast-path throughput at 10x the headline corpus, measured
+    # HERE — in the same warm, uncontaminated state as the headline point.
+    # (Measured: running it after the operator-surface queries reads ~35%
+    # low — the reused Python workers' RSS balloons through the heavy
+    # pandas-UDF queries and the 1M-doc pass pays the memory pressure, a
+    # bench-process artifact, not an engine property.) Single timed run;
+    # generation outside the timed section. BENCH_SUSTAINED_DOCS=0 skips.
+    sustained_docs = int(os.environ.get("BENCH_SUSTAINED_DOCS", "1000000"))
+    sustained_per_sec = None
+    if sustained_docs > 0:
+        big_corpus = spark_io.synthetic_corpus_df(
+            spark, seed=77, count=sustained_docs, partitions=CPUS * 4
+        ).persist()
+        big_corpus.count()
+        t0 = time.time()
+        extract_documents(big_corpus, book).select(
+            F.sum(F.size("spans")), F.sum(F.size("unresolved"))
+        ).collect()
+        timings["fastpath_sustained_1m"] = round(time.time() - t0, 3)
+        sustained_per_sec = round(
+            sustained_docs / timings["fastpath_sustained_1m"], 1
+        )
+        big_corpus.unpersist()
+
     # --- full adaptive loop (learn from scratch, converge, final pass) ----
     timed(
         "adaptive_extract",
@@ -101,6 +125,9 @@ def main() -> None:
         "revenue_by_nation",
         "top_orders_window",
         "events_tumbling",
+        "events_asof_join",
+        "events_sessions",
+        "events_rollup",
         "doc_quality",
         "lang_id_dist",
         "exact_dedup",
@@ -145,24 +172,6 @@ def main() -> None:
 
     timed("embedding_neardup_lsh_10x", emb_lsh)
     big.unpersist()
-
-    # Sustained fast-path throughput at 10x the headline corpus (single
-    # timed run — the JVM/JIT is warm from the 100k point; generation is
-    # outside the timed section). Set BENCH_SUSTAINED_DOCS=0 to skip.
-    sustained_docs = int(os.environ.get("BENCH_SUSTAINED_DOCS", "1000000"))
-    sustained_per_sec = None
-    if sustained_docs > 0:
-        big_corpus = spark_io.synthetic_corpus_df(
-            spark, seed=77, count=sustained_docs, partitions=CPUS * 4
-        ).persist()
-        big_corpus.count()
-        t0 = time.time()
-        extract_documents(big_corpus, book).select(
-            F.sum(F.size("spans")), F.sum(F.size("unresolved"))
-        ).collect()
-        timings["fastpath_sustained_1m"] = round(time.time() - t0, 3)
-        sustained_per_sec = round(sustained_docs / timings["fastpath_sustained_1m"], 1)
-        big_corpus.unpersist()
 
     total = round(sum(timings.values()), 3)
     print(
