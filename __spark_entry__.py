@@ -273,6 +273,63 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per event type (SURVEY §2.4 breadth): p50/p90/p99
+    of value with linear interpolation — Spark's exact `percentile`
+    aggregate vs DuckDB's `quantile_cont` (same interpolation contract).
+    The approximate twin (approx_percentile / HLL) is pinned by tolerance
+    tests instead — sketches are not cross-engine reproducible."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (SURVEY §2.4 breadth): hours x event types -> one wide row
+    per hour with each type's value sum. Explicit pivot value list (the
+    implicit-discovery variant needs an extra distinct scan AND makes the
+    output schema data-dependent — never do that at 100 TB); oracle is the
+    equivalent conditional aggregation."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        e.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+            "value",
+        )
+        .groupBy("hour")
+        .pivot("event_type", types)
+        .sum("value")
+    )
+    return wide.select(
+        "hour",
+        *[F.round(F.coalesce(t, F.lit(0.0)), 2).alias(f"sum_{t}") for t in types],
+    )
+
+
+def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (the 100 TB path for distincts/quantiles, where
+    exact shuffles don't fit): HyperLogLog++ distinct users and a
+    1000-bucket approx median per event type. Rows-only by nature —
+    sketches are not cross-engine reproducible; accuracy vs the exact
+    aggregates is pinned by tolerance tests
+    (tests/test_sketch_aggregates.py)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(
+            F.percentile_approx("value", F.lit(0.5), F.lit(1000)), 4
+        ).alias("p50_approx"),
+    )
+
+
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     return d.select(
@@ -461,6 +518,16 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adaptive_pdf_extractor_spark.operators import stats
 
     return stats.top_terms(_docs(spark, sf_dir), "text", k=25, min_len=2)
+
+
+def q_tf_idf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document (docs < 100): the keyword/relevance
+    leg of the text-analytics surface. Exact integer counts into one IEEE
+    ln — fully oracled."""
+    from adaptive_pdf_extractor_spark.operators import stats
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return stats.tf_idf_top_terms(d, "doc_id", "text", k=5, min_len=2)
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -672,6 +739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_sessions": q_events_sessions,
         "events_rollup": q_events_rollup,
+        "events_percentiles": q_events_percentiles,
+        "events_pivot": q_events_pivot,
+        "events_sketch_stats": q_events_sketch_stats,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "bpe_token_count": q_bpe_token_count,
@@ -688,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_delta": q_corpus_delta,
         "hash_split": q_hash_split,
         "top_terms": q_top_terms,
+        "tf_idf_terms": q_tf_idf_terms,
         "media_features": q_media_features,
         "embedding_knn_join": q_embedding_knn_join,
         "embedding_knn_join_ivf": q_embedding_knn_join_ivf,
@@ -936,6 +1007,29 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM i GROUP BY user_id, sess
         """,
+        "events_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "events_pivot": """
+            SELECT strftime(date_trunc('hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS hour,
+                   round(coalesce(sum(CASE WHEN event_type = 'click'
+                                           THEN value END), 0), 2) AS sum_click,
+                   round(coalesce(sum(CASE WHEN event_type = 'error'
+                                           THEN value END), 0), 2) AS sum_error,
+                   round(coalesce(sum(CASE WHEN event_type = 'purchase'
+                                           THEN value END), 0), 2) AS sum_purchase,
+                   round(coalesce(sum(CASE WHEN event_type = 'signup'
+                                           THEN value END), 0), 2) AS sum_signup,
+                   round(coalesce(sum(CASE WHEN event_type = 'view'
+                                           THEN value END), 0), 2) AS sum_view
+            FROM events GROUP BY 1
+        """,
         "events_rollup": """
             SELECT coalesce(hour, 'ALL') AS hour,
                    coalesce(event_type, 'ALL') AS event_type,
@@ -1045,6 +1139,34 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'test' END AS split
                 FROM documents
             ) GROUP BY split
+        """,
+        "tf_idf_terms": f"""
+            WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+            toks AS (
+                SELECT doc_id,
+                       translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                 'abcdefghijklmnopqrstuvwxyz') AS term
+                FROM (SELECT doc_id, unnest(regexp_extract_all(
+                          trim(text), '[^{_SQL_WS}]+')) AS t
+                      FROM src)
+                WHERE length(t) >= 2
+            ),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM src),
+            scored AS (
+                SELECT doc_id, term,
+                       tf * ln((n.n + 1.0) / (df + 1.0)) AS s,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY tf * ln((n.n + 1.0) / (df + 1.0)) DESC,
+                                    term ASC
+                       ) AS rk
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, round(s, 6) AS score, rk
+            FROM scored WHERE rk <= 5
         """,
         "top_terms": f"""
             SELECT term, n FROM (

@@ -78,6 +78,44 @@ def ascii_fold(col: Column) -> Column:
     return F.translate(col, _UPPER, _LOWER)
 
 
+def tf_idf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    min_len: int = 2,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — the classic relevance/keyword
+    operator for corpus curation (smoothed IDF: tf * ln((N+1)/(df+1))).
+
+    Plan shape: tokenize/explode (narrow) -> (doc, term) hash agg ->
+    vocabulary-sized df agg -> equi-join on term -> per-doc row_number
+    window. N (the doc count) is one column-pruned count, computed once.
+    Everything is exact integer counts until the final log — which both
+    Spark and DuckDB evaluate as IEEE-double ln on identical integer
+    ratios, so the oracle reproduces scores bit-for-bit at round(6).
+    Ties rank deterministically by (score desc, term asc)."""
+    from pyspark.sql.window import Window
+
+    n_docs = df.count()
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("t"))
+        .filter(F.length("t") >= min_len)
+        .select("doc_id", ascii_fold(F.col("t")).alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_score"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("_score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", F.round("_score", 6).alias("score"), "rk")
+    )
+
+
 def top_terms(
     df: DataFrame, text_col: str, k: int = 50, min_len: int = 1
 ) -> DataFrame:

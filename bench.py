@@ -128,6 +128,8 @@ def main() -> None:
         "events_asof_join",
         "events_sessions",
         "events_rollup",
+        "events_pivot",
+        "tf_idf_terms",
         "doc_quality",
         "lang_id_dist",
         "exact_dedup",

@@ -90,6 +90,7 @@ def test_rows_only_queries_run(spark):
         "embedding_neardup_lsh",
         "corpus_curation_lsh",
         "embedding_knn_join_ivf",
+        "events_sketch_stats",
         "media_features",
     }
     for name in sorted(no_oracle):

@@ -1,0 +1,50 @@
+"""Sketch aggregates (HLL++ distinct, approx percentile): accuracy pinned
+against the exact aggregates on the same data — the correctness gate for
+the rows-only events_sketch_stats driver entry (sketches are not
+cross-engine reproducible, so no SQL oracle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_sketch_stats_within_tolerance_of_exact(spark):
+    approx = {
+        r["event_type"]: (r["approx_users"], r["p50_approx"])
+        for r in entry_mod.q_events_sketch_stats(spark, SF_DIR).collect()
+    }
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = {
+        r["event_type"]: (r["users"], r["p50"])
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys() and len(approx) == 5
+    for etype, (users, p50) in exact.items():
+        a_users, a_p50 = approx[etype]
+        # HLL++ default rsd = 5%; allow 3 sigma
+        assert abs(a_users - users) <= max(3, 0.15 * users), (etype, a_users, users)
+        # percentile_approx(accuracy=1000): rank error <= n/1000; translate
+        # to a generous value tolerance on this distribution
+        assert abs(a_p50 - p50) <= max(1.0, 0.1 * abs(p50)), (etype, a_p50, p50)
+
+
+def test_sketch_stats_deterministic(spark):
+    """Same input -> same sketch output (HLL++ and KLL here are
+    deterministic algorithms, not randomized): rerunning the query must
+    not flicker."""
+    a = sorted(
+        map(tuple, entry_mod.q_events_sketch_stats(spark, SF_DIR).collect())
+    )
+    b = sorted(
+        map(tuple, entry_mod.q_events_sketch_stats(spark, SF_DIR).collect())
+    )
+    assert a == b
