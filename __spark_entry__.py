@@ -224,6 +224,31 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (SURVEY §2.3 breadth): clicks inside each user's error
+    windows ([error_ts, error_ts + 30 min)) — binned equi-join
+    (operators/joins.interval_join), never the nested-loop inequality
+    join Spark would otherwise plan. Oracle: the plain inequality join in
+    DuckDB (exact same pair set)."""
+    from adaptive_pdf_extractor_spark.operators.joins import interval_join
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    intervals = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("w_end"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join(
+        clicks, intervals, "user_id", "ts", "w_start", "w_end",
+        bin_seconds=1800,
+    )
+    return out.select("event_id", "interval_id")
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-minute inactivity gap) per user: start, end
     (last event + gap), event count, value sum. Spark's session_window in
@@ -737,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling": q_events_tumbling,
         "events_running_sum": q_events_running_sum,
         "events_asof_join": q_events_asof_join,
+        "events_interval_join": q_events_interval_join,
         "events_sessions": q_events_sessions,
         "events_rollup": q_events_rollup,
         "events_percentiles": q_events_percentiles,
@@ -984,6 +1010,18 @@ def oracle_sql() -> dict[str, str]:
                    round(r.ref_value, 2) AS prior_purchase_value
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_interval_join": """
+            WITH iv AS (SELECT event_id AS interval_id, user_id,
+                               ts AS w_start,
+                               ts + INTERVAL 30 MINUTE AS w_end
+                        FROM events WHERE event_type = 'error'),
+                 ev AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_type = 'click')
+            SELECT ev.event_id, iv.interval_id
+            FROM ev JOIN iv
+              ON ev.user_id = iv.user_id
+             AND ev.ts >= iv.w_start AND ev.ts < iv.w_end
         """,
         # Session semantics: a gap of EXACTLY the window closes the session
         # (Spark session windows are [start, last+gap) half-open), hence >=

@@ -23,6 +23,62 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    *,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Range (interval-containment) join: all (event, interval) pairs with
+    matching key and ``start <= ts < end`` — point-in-interval enrichment
+    (log line -> deploy window, trade -> trading halt, event -> incident).
+
+    Spark executes a raw inequality join as a nested-loop over every
+    key-pair — quadratic per key. The scale formulation bins time:
+    intervals explode to the fixed-width bins they touch, events map to
+    their single bin, and the join becomes an EQUI-join on (key, bin)
+    followed by the exact containment filter. Each qualifying pair meets
+    in exactly one bin (the event's), so no dedup is needed. Cost: one
+    hash shuffle; interval rows replicate by ceil(length/bin) — pick
+    ``bin_seconds`` near the typical interval length.
+
+    Intervals with ``end <= start`` are empty by the half-open contract
+    and produce no pairs. Returns events.* + intervals.* (key column
+    once)."""
+    binus = int(bin_seconds) * 1_000_000
+    # integer floor of epoch-micros / bin (micros < 2^53, exact in the
+    # intermediate double; positive, so cast-to-long truncation == floor).
+    # The cast("timestamp") makes TIMESTAMP_NTZ columns acceptable to
+    # unix_micros (session TZ is pinned UTC in session.py, so the NTZ ->
+    # instant mapping is deterministic); it is a no-op for TIMESTAMP.
+    micros = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    ev = events.withColumn("_ebin", (micros(ts_col) / binus).cast("long"))
+    iv = (
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .withColumn(
+            "_ibin",
+            F.explode(
+                F.sequence(
+                    (micros(start_col) / binus).cast("long"),
+                    ((micros(end_col) - 1) / binus).cast("long"),
+                )
+            ),
+        )
+        .withColumnRenamed(key_col, "_ikey")
+    )
+    joined = ev.join(
+        iv,
+        (F.col(key_col) == F.col("_ikey")) & (F.col("_ebin") == F.col("_ibin")),
+    ).filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_ebin", "_ibin", "_ikey")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

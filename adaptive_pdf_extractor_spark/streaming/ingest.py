@@ -156,6 +156,42 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_interval_enrich(
+    events: DataFrame,
+    markers: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    marker_id_col: str = "event_id",
+    window: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream join: each event paired with every marker
+    event of the same key whose window ``[marker_ts, marker_ts + window)``
+    contains it — the streaming twin of ``operators.joins.interval_join``
+    (e.g. click-inside-error-window attribution, both sides live streams).
+
+    Both sides carry a watermark and the join condition bounds the event
+    time range, which is exactly what lets Structured Streaming evict join
+    state: a marker older than (max event time - watermark - window) can
+    never match again and is dropped. Without the time-range condition the
+    state store grows forever — the stream-stream analog of the
+    dropDuplicatesWithinWatermark bound. Inner join; output columns =
+    events.* + ``interval_id``."""
+    e = events.withWatermark(ts_col, watermark)
+    iv = markers.select(
+        F.col(key_col).alias("_ikey"),
+        F.col(ts_col).alias("_its"),
+        F.col(marker_id_col).alias("interval_id"),
+    ).withWatermark("_its", watermark)
+    cond = (
+        (F.col(key_col) == F.col("_ikey"))
+        & (F.col(ts_col) >= F.col("_its"))
+        & (F.col(ts_col) < F.col("_its") + F.expr(f"INTERVAL {window}"))
+    )
+    return e.join(iv, cond, "inner").drop("_ikey", "_its")
+
+
 def streaming_minhash_neardup(
     docs: DataFrame,
     state_dir: str,

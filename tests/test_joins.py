@@ -5,9 +5,9 @@ cross-engine check is the events_asof_join DuckDB ASOF JOIN oracle."""
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
-from adaptive_pdf_extractor_spark.operators.joins import asof_join
+from adaptive_pdf_extractor_spark.operators.joins import asof_join, interval_join
 
 
 def _ts(s: int) -> datetime:
@@ -45,6 +45,111 @@ def test_asof_join_inclusive_strict_and_outer(spark):
     }
     # strict: the equal-ts right row is NOT visible to event 100
     assert strict == {100: None, 101: 1.0, 102: 6.0, 200: None, 300: None}
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Cross-implementation pin: on pseudo-random (key, ts) data the
+    union + carry-forward window must agree with pandas.merge_asof (a
+    third independent implementation besides the DuckDB ASOF oracle)."""
+    import pandas as pd
+
+    for seed in (1, 2, 3):
+        st = seed * 0x9E3779B9
+        def nxt():
+            nonlocal st
+            st = (st * 6364136223846793005 + 1442695040888963407) % 2**64
+            return st
+        lrows = [
+            (f"k{nxt() % 4}", _ts(nxt() % 50), i) for i in range(60)
+        ]
+        rrows_map = {}
+        for j in range(25):
+            rrows_map[(f"k{nxt() % 4}", _ts(nxt() % 50))] = float(j)
+        rrows = [(k, t, v) for (k, t), v in rrows_map.items()]
+        left = spark.createDataFrame(lrows, "k string, ts timestamp, eid int")
+        right = spark.createDataFrame(rrows, "k string, ts timestamp, v double")
+        got = {
+            r["eid"]: r["asof_value"]
+            for r in asof_join(left, right, "k", "ts", "v").collect()
+        }
+        lpd = pd.DataFrame(lrows, columns=["k", "ts", "eid"]).sort_values("ts", kind="stable")
+        rpd = pd.DataFrame(rrows, columns=["k", "ts", "v"]).sort_values("ts", kind="stable")
+        merged = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward")
+        exp = {
+            int(r.eid): (None if pd.isna(r.v) else float(r.v))
+            for r in merged.itertuples()
+        }
+        assert got == exp, seed
+
+
+def test_interval_join_boundaries_and_bins(spark):
+    """Half-open [start, end) semantics; pairs found across bin
+    boundaries; empty intervals match nothing; per-key isolation."""
+    events = spark.createDataFrame(
+        [
+            ("a", _ts(0), 1),    # == start: in
+            ("a", _ts(9), 2),    # inside
+            ("a", _ts(10), 3),   # == end: out
+            ("b", _ts(5), 4),    # other key: only b's interval
+        ],
+        "k string, ts timestamp, eid int",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("a", _ts(0), _ts(10), 100),
+            ("b", _ts(4), _ts(6), 200),
+            ("a", _ts(7), _ts(7), 300),   # empty: end == start
+        ],
+        "k string, s timestamp, e timestamp, iid int",
+    )
+    # bin_seconds=3 forces every interval to span multiple bins
+    pairs = {
+        (r["eid"], r["iid"])
+        for r in interval_join(
+            events, intervals, "k", "ts", "s", "e", bin_seconds=3
+        ).collect()
+    }
+    assert pairs == {(1, 100), (2, 100), (4, 200)}
+    # long-bin path (one bin covers everything) gives the same answer
+    pairs_big = {
+        (r["eid"], r["iid"])
+        for r in interval_join(
+            events, intervals, "k", "ts", "s", "e", bin_seconds=86400
+        ).collect()
+    }
+    assert pairs_big == pairs
+
+
+def test_interval_join_matches_bruteforce(spark):
+    """Pseudo-random sweep vs the O(n^2) definition."""
+    rows_e, rows_i = [], []
+    st = 0xC0FFEE
+    def nxt():
+        nonlocal st
+        st = (st * 6364136223846793005 + 1442695040888963407) % 2**64
+        return st
+    for i in range(80):
+        rows_e.append((f"k{nxt() % 3}", _ts(nxt() % 60), i))
+    for j in range(30):
+        s = nxt() % 60
+        rows_i.append((f"k{nxt() % 3}", _ts(s), _ts(s) + timedelta(seconds=nxt() % 20), j))
+    events = spark.createDataFrame(rows_e, "k string, ts timestamp, eid int")
+    intervals = spark.createDataFrame(
+        rows_i, "k string, s timestamp, e timestamp, iid int"
+    )
+    got = {
+        (r["eid"], r["iid"])
+        for r in interval_join(
+            events, intervals, "k", "ts", "s", "e", bin_seconds=7
+        ).collect()
+    }
+    exp = {
+        (eid, iid)
+        for (ke, ts, eid) in rows_e
+        for (ki, s, e, iid) in rows_i
+        if ke == ki and s <= ts < e
+    }
+    assert got == exp and len(exp) > 0
 
 
 def test_asof_join_preserves_left_shape(spark):

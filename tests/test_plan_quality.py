@@ -109,6 +109,25 @@ def test_knn_join_ivf_is_bucket_equijoin(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_interval_join_is_binned_equijoin(spark):
+    """The range join must execute as a hash equi-join on (key, bin) —
+    the raw inequality join would plan as a per-key nested loop
+    (quadratic)."""
+    plan = _executed(entry_mod.q_events_interval_join(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan, plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join is union + one window: exactly one Exchange (on the
+    key), never a join operator at all."""
+    plan = _executed(entry_mod.q_events_asof_join(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
 def test_corpus_curation_lsh_no_cartesian(spark):
     """The scale curation pipeline must contain no cartesian/nested-loop
     stage anywhere: pair generation is banded LSH buckets, clustering is

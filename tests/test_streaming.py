@@ -232,6 +232,77 @@ def test_streaming_minhash_neardup_cross_batch_and_state_bound(spark, tmp_path):
     assert {r["id"] for r in final_state.collect()} == {"late/1"}
 
 
+def test_streaming_interval_enrich_equals_batch_interval_join(spark, tmp_path):
+    """Stream-stream watermarked join == the batch interval_join pair set
+    on the same bounded input (the streaming path adds state eviction, not
+    different semantics)."""
+    from datetime import datetime, timedelta
+
+    from adaptive_pdf_extractor_spark.operators.joins import interval_join
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType, TimestampType,
+    )
+
+    base = datetime(2030, 1, 1)
+    st = 0xBEEF
+    def nxt():
+        nonlocal st
+        st = (st * 6364136223846793005 + 1442695040888963407) % 2**64
+        return st
+    ev_rows = [
+        (i, (nxt() % 5) + 1, base + timedelta(minutes=nxt() % 120))
+        for i in range(60)
+    ]
+    mk_rows = [
+        (1000 + j, (nxt() % 5) + 1, base + timedelta(minutes=nxt() % 120))
+        for j in range(20)
+    ]
+    schema = StructType(
+        [
+            StructField("event_id", IntegerType()),
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    ev_df = spark.createDataFrame(ev_rows, schema)
+    mk_df = spark.createDataFrame(mk_rows, schema)
+    ev_src, mk_src = str(tmp_path / "ev"), str(tmp_path / "mk")
+    ev_df.repartition(2).write.parquet(ev_src)
+    mk_df.repartition(2).write.parquet(mk_src)
+
+    ev_stream = spark.readStream.schema(schema).parquet(ev_src)
+    mk_stream = spark.readStream.schema(schema).parquet(mk_src)
+    joined = ingest.streaming_interval_enrich(
+        ev_stream, mk_stream, window="30 minutes", watermark="10 minutes"
+    )
+    q = (
+        joined.select("event_id", "interval_id")
+        .writeStream.format("memory")
+        .queryName("stream_ivj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r["event_id"], r["interval_id"])
+        for r in spark.sql("SELECT * FROM stream_ivj").collect()
+    }
+    intervals = mk_df.select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("e"),
+    )
+    exp = {
+        (r["event_id"], r["interval_id"])
+        for r in interval_join(
+            ev_df, intervals, "user_id", "ts", "s", "e", bin_seconds=1800
+        ).collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
 def test_streaming_dedup_keeps_caller_event_time(spark, tmp_path):
     """A caller-supplied event-time column must drive the watermark and
     survive to the output (not be clobbered by processing time)."""
