@@ -107,18 +107,25 @@ def asof_join(
     # (inclusive as-of); strict mode orders left first so an equal-ts
     # right row is NOT visible to it.
     right_side, left_side = (0, 1) if not strict else (1, 0)
+    # The carried marker is a STRUCT wrapping the value, not the bare
+    # value: last(ignorenulls) must skip only the left-row placeholders,
+    # never a right row whose value is genuinely NULL — a true ASOF join
+    # matches the latest right ROW and returns its value even when that
+    # value is null (a bare-value carry would reach past it to a stale
+    # older value; verified divergence vs the DuckDB ASOF oracle).
+    rv_struct = F.struct(F.col(value_col).alias("v"))
     r = right.select(
         F.col(key_col).alias("_k"),
         F.col(ts_col).alias("_ts"),
         F.lit(right_side).alias("_side"),
-        F.col(value_col).alias("_rv"),
+        rv_struct.alias("_rv"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
     )
     l = left.select(
         F.col(key_col).alias("_k"),
         F.col(ts_col).alias("_ts"),
         F.lit(left_side).alias("_side"),
-        F.lit(None).cast(right.schema[value_col].dataType).alias("_rv"),
+        F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
         *lcols,
     )
     w = (
@@ -127,6 +134,6 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = r.unionByName(l).withColumn(
-        out_col, F.last("_rv", ignorenulls=True).over(w)
+        out_col, F.last("_rv", ignorenulls=True).over(w)["v"]
     )
     return merged.filter(F.col("_side") == left_side).select(*lcols, out_col)

@@ -97,7 +97,11 @@ def tf_idf_top_terms(
     Ties rank deterministically by (score desc, term asc)."""
     from pyspark.sql.window import Window
 
-    n_docs = df.count()
+    # N rides the plan as a broadcast 1-row cross join, NOT an eager
+    # df.count(): constructing the frame must stay lazy (no job at build
+    # time) and single-plan — the same shape the SQL oracle's CROSS JOIN n
+    # uses.
+    n_docs = df.agg(F.count("*").alias("_n"))
     toks = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("t"))
         .filter(F.length("t") >= min_len)
@@ -105,10 +109,11 @@ def tf_idf_top_terms(
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    score = F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+    score = F.col("tf") * F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0))
     w = Window.partitionBy("doc_id").orderBy(F.desc("_score"), F.asc("term"))
     return (
         tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn("_score", score)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)

@@ -227,27 +227,51 @@ def streaming_minhash_neardup(
 
     State versions are written to ``state_dir/v=<batch_id>`` (write-new-
     then-read pattern: parquet can't overwrite a dir that feeds the same
-    plan); on a real cluster this is one small Iceberg/Delta table with
-    snapshot replace. Returns the started StreamingQuery.
+    plan), and each batch reads the newest version STRICTLY BELOW its own
+    batch id so checkpoint replay is idempotent; on a real cluster this is
+    one small Iceberg/Delta table with snapshot replace. A state_dir
+    belongs to one checkpoint lineage — pair them.
+
+    Known at-scale cost, accepted here for operator reuse: state rows
+    carry raw text so the UNMODIFIED batch pair operator (banding,
+    prefilter, exact verify) runs over batch ∪ state — which re-hashes
+    the in-horizon state every batch. At production rates (watermark >>
+    trigger interval) persist signatures + shingle hashes in the state
+    table and split the pair stage so only new batch docs hash; per-batch
+    cost then scales with batch size, not arrival_rate x watermark.
+    Returns the started StreamingQuery.
     """
     import os
 
     from ..operators import dedup as dedup_ops
 
-    def _latest_state(spark: SparkSession):
+    def _latest_state(spark: SparkSession, below: int):
+        """Latest committed state STRICTLY BELOW the current batch id.
+        Reading v=batch_id itself would deadlock recovery: a replayed
+        batch (crash between the state write and the checkpoint commit)
+        would lazily read state_dir/v=batch_id while mode('overwrite')
+        deletes it under the scan (observed: FAILED_READ_FILE on every
+        restart). Keying reads to < batch_id makes replay idempotent —
+        the replayed batch rebuilds v=batch_id from v=batch_id-1, exactly
+        as the original attempt did. (Consequence: a state_dir belongs to
+        ONE checkpoint lineage; a fresh checkpoint restarts batch ids at 0
+        and correctly sees an empty state.)"""
         if not os.path.isdir(state_dir):
             return None
         versions = sorted(
-            (d for d in os.listdir(state_dir) if d.startswith("v=")),
-            key=lambda d: int(d.split("=", 1)[1]),
+            v
+            for d in os.listdir(state_dir)
+            if d.startswith("v=") and (v := int(d.split("=", 1)[1])) < below
         )
         if not versions:
             return None
-        return spark.read.parquet(os.path.join(state_dir, versions[-1]))
+        return spark.read.parquet(
+            os.path.join(state_dir, f"v={versions[-1]}")
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = (
+        batch0 = (
             batch_df.select(
                 F.col(id_col).alias("id"),
                 F.col(text_col).alias("text"),
@@ -256,10 +280,11 @@ def streaming_minhash_neardup(
             .dropDuplicates(["id"])
             .persist()
         )
+        batch = batch0
         if batch.isEmpty():
-            batch.unpersist()
+            batch0.unpersist()
             return
-        state = _latest_state(spark)
+        state = _latest_state(spark, below=int(batch_id))
         if state is None:
             state = spark.createDataFrame([], batch.schema)
         # Evict BEFORE matching: the horizon advances with this batch's max
@@ -274,6 +299,12 @@ def streaming_minhash_neardup(
         )
         horizon = F.lit(max_ts) - F.expr(f"INTERVAL {watermark_seconds} SECOND")
         state = state.select("id", "text", "ts").filter(F.col("ts") >= horizon)
+        # Identity dedup BEFORE similarity dedup: an id already emitted and
+        # still in state (at-least-once source redelivery) must be dropped
+        # outright — the pair stage cannot catch it because (x, x) pairs
+        # are excluded by the id_a < id_b contract, and without this the
+        # redelivered doc re-emits AND duplicates its id in state.
+        batch = batch.join(state.select("id"), "id", "left_anti")
         union = batch.unionByName(state)
         pairs = dedup_ops.minhash_lsh_pairs(
             union,
@@ -332,7 +363,7 @@ def streaming_minhash_neardup(
         )
         pairs.unpersist()
         survivors.unpersist()
-        batch.unpersist()
+        batch0.unpersist()
 
     writer = (
         docs.writeStream.foreachBatch(process_batch)

@@ -47,6 +47,26 @@ def test_asof_join_inclusive_strict_and_outer(spark):
     assert strict == {100: None, 101: 1.0, 102: 6.0, 200: None, 300: None}
 
 
+def test_asof_join_null_right_value_is_not_skipped(spark):
+    """A right row whose VALUE is null is still the matched as-of row —
+    the carry must return its null, never reach past it to a stale older
+    value (true ASOF semantics; the bare-value ignorenulls formulation got
+    this wrong)."""
+    left = spark.createDataFrame(
+        [("a", _ts(10), 1), ("a", _ts(3), 2)],
+        "k string, ts timestamp, eid int",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(1), 5.0), ("a", _ts(8), None)],
+        "k string, ts timestamp, v double",
+    )
+    got = {
+        r["eid"]: r["asof_value"]
+        for r in asof_join(left, right, "k", "ts", "v").collect()
+    }
+    assert got == {1: None, 2: 5.0}
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     """Cross-implementation pin: on pseudo-random (key, ts) data the
     union + carry-forward window must agree with pandas.merge_asof (a

@@ -232,6 +232,89 @@ def test_streaming_minhash_neardup_cross_batch_and_state_bound(spark, tmp_path):
     assert {r["id"] for r in final_state.collect()} == {"late/1"}
 
 
+def test_streaming_neardup_redelivery_and_stale_state_versions(spark, tmp_path):
+    """Two state-machine regressions: (1) an at-least-once source
+    redelivering the SAME doc id in a later batch must not re-emit it or
+    duplicate its id in state (the (x,x) pair is invisible to the
+    id_a < id_b pair stage — identity dedup must happen first); (2) a
+    pre-existing state version numbered >= the current batch id (crash
+    replay / stale dir) must be ignored, not read-while-overwritten."""
+    import os
+    import time
+
+    from pyspark.sql.types import (
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    texts = [
+        corpus_mod.synth_record(seed=61, doc_id=f"r/{i}")["pdf_text"]
+        for i in range(6)
+    ]
+    src = str(tmp_path / "rd_src")
+    out_dir = str(tmp_path / "rd_out")
+    state_dir = str(tmp_path / "rd_state")
+
+    # regression (2): a stale v=0 from a dead run — batch 0 of THIS run
+    # must ignore it (reads only versions < its own id) and overwrite
+    # cleanly instead of deleting files under its own scan
+    stale = spark.createDataFrame(
+        [("stale/0", "stale text", None)],
+        "id string, text string, ts timestamp",
+    )
+    stale.write.parquet(os.path.join(state_dir, "v=0"))
+
+    def write_batch(rows, ts):
+        df = spark.createDataFrame(
+            rows, "doc_id string, text string"
+        ).withColumn("ingest_ts", F.to_timestamp(F.lit(ts)))
+        df.repartition(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    write_batch(
+        [(f"r/{i}", texts[i]) for i in range(6)], "2031-01-01 00:00:00"
+    )
+    # redelivery of r/0 (identical id + text) inside the horizon, plus a
+    # fresh doc in the same batch
+    fresh = corpus_mod.synth_record(seed=67, doc_id="g/0")["pdf_text"]
+    write_batch(
+        [("r/0", texts[0]), ("new/0", fresh)], "2031-01-01 00:01:00"
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+            StructField("ingest_ts", TimestampType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ingest.streaming_minhash_neardup(
+        stream, state_dir, out_dir,
+        watermark_seconds=300,
+        checkpoint_dir=str(tmp_path / "rd_chk"),
+    )
+    q.awaitTermination(240)
+
+    out_ids = [r["doc_id"] for r in spark.read.parquet(out_dir).collect()]
+    assert sorted(out_ids) == sorted(
+        [f"r/{i}" for i in range(6)] + ["new/0"]
+    ), "redelivered r/0 must emit exactly once; stale state must be ignored"
+    versions = sorted(
+        (d for d in os.listdir(state_dir) if d.startswith("v=")),
+        key=lambda d: int(d.split("=", 1)[1]),
+    )
+    final_state = spark.read.parquet(
+        os.path.join(state_dir, versions[-1])
+    ).collect()
+    ids = [r["id"] for r in final_state]
+    assert len(ids) == len(set(ids)), "state must not hold duplicate ids"
+    assert "stale/0" not in ids
+
+
 def test_streaming_interval_enrich_equals_batch_interval_join(spark, tmp_path):
     """Stream-stream watermarked join == the batch interval_join pair set
     on the same bounded input (the streaming path adds state eviction, not
