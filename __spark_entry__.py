@@ -621,18 +621,18 @@ def curation_pipeline(docs: DataFrame, pair_fn) -> DataFrame:
     (the DuckDB oracle) and minhash-LSH (the 100 TB path)."""
     scored = docs.withColumn("quality", T.quality_score(F.col("text")))
     kept = scored.filter(F.col("quality") >= 0.5)
-    # Materialize once: kept feeds THREE consumers (the pair stage, the
-    # cluster id set, and the final stats join) — without this the
-    # quality-score regex bank and the dedup agg re-run per consumer
-    # (measured 2.6x on the LSH variant at 10k docs). localCheckpoint
-    # rather than persist: there is no safe unpersist point inside a
-    # builder whose frame the caller consumes lazily, and checkpointed
-    # blocks are reclaimed by the ContextCleaner when the frame is
-    # garbage-collected (a stranded persist needs explicit unpersist).
+    # Cache: kept feeds THREE consumers (the pair stage, the cluster id
+    # set, and the final stats join) — without this the quality-score
+    # regex bank and the dedup agg re-run per consumer (measured 2.6x on
+    # the LSH variant at 10k docs). persist, NOT localCheckpoint: Spark's
+    # CacheManager keys cache entries by canonical logical plan, so
+    # repeated invocations of the same query (a) don't accumulate copies
+    # (re-persisting an already-cached plan is a no-op hit on the existing
+    # entry) and (b) REUSE the materialized gate across reruns — measured
+    # 2x vs an eager localCheckpoint, which re-executes per invocation.
+    # Entry count is bounded by distinct source frames, session-scoped.
     # At true corpus scale this is a table write (same role).
-    kept = dedup.exact_dedup_keep(kept, "doc_id", "text").localCheckpoint(
-        eager=True
-    )
+    kept = dedup.exact_dedup_keep(kept, "doc_id", "text").persist()
     pairs = pair_fn(kept)
     clusters = dedup.neardup_clusters(
         kept.select(F.col("doc_id").alias("id")), pairs

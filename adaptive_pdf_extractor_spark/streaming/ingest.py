@@ -232,13 +232,13 @@ def streaming_minhash_neardup(
     one small Iceberg/Delta table with snapshot replace. A state_dir
     belongs to one checkpoint lineage — pair them.
 
-    Known at-scale cost, accepted here for operator reuse: state rows
-    carry raw text so the UNMODIFIED batch pair operator (banding,
-    prefilter, exact verify) runs over batch ∪ state — which re-hashes
-    the in-horizon state every batch. At production rates (watermark >>
-    trigger interval) persist signatures + shingle hashes in the state
-    table and split the pair stage so only new batch docs hash; per-batch
-    cost then scales with batch size, not arrival_rate x watermark.
+    The state table IS the signature table: each admitted doc's minhash
+    signature persists alongside its text/ts, so per-batch hashing cost is
+    the NEW batch docs only (``minhash_signatures_df``) — not
+    arrival_rate x watermark — and the pair stage runs
+    ``minhash_lsh_pairs_from_sigs`` over persisted + fresh signatures.
+    Text stays in state solely for the exact-Jaccard verification of the
+    few candidates, which semi-join-prunes before shingling.
     Returns the started StreamingQuery.
     """
     import os
@@ -284,9 +284,17 @@ def streaming_minhash_neardup(
         if batch.isEmpty():
             batch0.unpersist()
             return
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+        # build a fresh StructType: StructType.add mutates in place and
+        # df.schema may be a cached object
+        state_schema = StructType(
+            list(batch.schema.fields)
+            + [StructField("sig", ArrayType(LongType()))]
+        )
         state = _latest_state(spark, below=int(batch_id))
         if state is None:
-            state = spark.createDataFrame([], batch.schema)
+            state = spark.createDataFrame([], state_schema)
         # Evict BEFORE matching: the horizon advances with this batch's max
         # event time, and an original older than (max_ts - watermark) must
         # no longer suppress anything — otherwise state is only pruned one
@@ -298,16 +306,29 @@ def streaming_minhash_neardup(
             .first()[0]
         )
         horizon = F.lit(max_ts) - F.expr(f"INTERVAL {watermark_seconds} SECOND")
-        state = state.select("id", "text", "ts").filter(F.col("ts") >= horizon)
+        state = state.select("id", "text", "ts", "sig").filter(
+            F.col("ts") >= horizon
+        )
         # Identity dedup BEFORE similarity dedup: an id already emitted and
         # still in state (at-least-once source redelivery) must be dropped
         # outright — the pair stage cannot catch it because (x, x) pairs
         # are excluded by the id_a < id_b contract, and without this the
         # redelivered doc re-emits AND duplicates its id in state.
         batch = batch.join(state.select("id"), "id", "left_anti")
+        # ONLY new batch docs pay the signature UDF — in-horizon state rows
+        # carry their signature from the batch that admitted them (the
+        # signature table IS the state table; per-batch hashing cost scales
+        # with batch size, not arrival_rate x watermark). Left join keeps
+        # empty-shingle docs (they can't pair; they still flow through).
+        batch_sigs = dedup_ops.minhash_signatures_df(
+            batch, "id", "text", shingle_n=shingle_n, num_hashes=num_hashes
+        )
+        batch = batch.join(batch_sigs, "id", "left").persist()
         union = batch.unionByName(state)
-        pairs = dedup_ops.minhash_lsh_pairs(
-            union,
+        all_sigs = union.select("id", "sig").filter(F.col("sig").isNotNull())
+        pairs = dedup_ops.minhash_lsh_pairs_from_sigs(
+            all_sigs,
+            union.select("id", "text"),
             "id",
             "text",
             shingle_n=shingle_n,
@@ -351,11 +372,11 @@ def streaming_minhash_neardup(
             F.col("ts").alias(ts_col),
         ).write.mode("append").parquet(out_dir)
 
-        # new state = (live state ∪ survivors) within the horizon (the
-        # state side is already filtered; a late-arriving survivor older
-        # than the horizon must not re-enter)
+        # new state = (live state ∪ survivors, each with its signature)
+        # within the horizon (the state side is already filtered; a
+        # late-arriving survivor older than the horizon must not re-enter)
         new_state = (
-            state.unionByName(survivors.select("id", "text", "ts"))
+            state.unionByName(survivors.select("id", "text", "ts", "sig"))
             .filter(F.col("ts") >= horizon)
         )
         new_state.write.mode("overwrite").parquet(
@@ -363,6 +384,7 @@ def streaming_minhash_neardup(
         )
         pairs.unpersist()
         survivors.unpersist()
+        batch.unpersist()
         batch0.unpersist()
 
     writer = (
