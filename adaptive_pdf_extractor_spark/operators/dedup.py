@@ -195,8 +195,11 @@ def minhash_lsh_pairs(
     ≈ 1-5e-8, so verified output equals the brute-force ground truth for
     practical purposes (tests plant dups and assert exact equality).
 
-    Scale notes: candidate pairing joins only within buckets; verification
-    shingles only candidate ids (semi-join pruned). Composition of
+    Scale notes: candidate pairing joins only within buckets, carrying
+    bare (id, id); exact verification is a narrow JVM re-shingling of the
+    docs hash-joined against the few surviving pairs (a candidate-id
+    semi-join pre-prune was measured 1.6x SLOWER — it re-evaluates the
+    prefilter subtree before its cache populates). Composition of
     :func:`minhash_signatures_df` + :func:`minhash_lsh_pairs_from_sigs` —
     callers holding a persisted signature table use those directly.
     """
@@ -225,19 +228,28 @@ def minhash_lsh_pairs_from_sigs(
     num_hashes: int = 128,
     bands: int = 32,
     threshold: float = 0.8,
+    persist_sigs: bool = True,
 ) -> DataFrame:
     """LSH pair stage over a PRECOMPUTED signature table ``sigs_df``
-    (columns ``id``, ``sig``); ``docs`` supplies texts for the exact
-    verification of the few surviving candidates (semi-join pruned before
-    shingling — the corpus is never re-shingled). The incremental /
-    streaming path: signatures persist, new docs hash once."""
+    (columns ``id``, ``sig``): banding, the >=2-band cut, and the
+    signature prefilter never touch text; ``docs`` is re-shingled (narrow
+    JVM projection) only for the exact-Jaccard check, hash-joined against
+    the few surviving pairs. The incremental / streaming path: signatures
+    persist, only new docs ever hash.
+
+    ``persist_sigs=False`` for callers that manage the signature frame's
+    caching themselves (the streaming loop persists per micro-batch and
+    must unpersist after — an internal persist here would strand one
+    CacheManager entry per batch, since each batch's plan is distinct)."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
 
     # Signatures feed three join branches (banding + both prefilter
     # sides); persisting the compact sig table (~1 KB/doc) avoids
     # recomputing its subtree per branch.
-    sigs = sigs_df.select("id", "sig").persist()
+    sigs = sigs_df.select("id", "sig")
+    if persist_sigs:
+        sigs = sigs.persist()
     banded = sigs.select(
         "id",
         F.explode(

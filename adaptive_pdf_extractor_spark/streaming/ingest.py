@@ -233,13 +233,18 @@ def streaming_minhash_neardup(
     belongs to one checkpoint lineage — pair them.
 
     The state table IS the signature table: each admitted doc's minhash
-    signature persists alongside its text/ts, so per-batch hashing cost is
-    the NEW batch docs only (``minhash_signatures_df``) — not
-    arrival_rate x watermark — and the pair stage runs
-    ``minhash_lsh_pairs_from_sigs`` over persisted + fresh signatures.
-    Text stays in state solely for the exact-Jaccard verification of the
-    few candidates, which semi-join-prunes before shingling.
-    Returns the started StreamingQuery.
+    signature persists alongside its text/ts, so the expensive per-doc
+    hashing (the 128-permutation numpy bank) runs for the NEW batch docs
+    only (``minhash_signatures_df``) — not arrival_rate x watermark — and
+    banding/candidate-cut/prefilter run over persisted + fresh signatures
+    (``minhash_lsh_pairs_from_sigs``). Text stays in state for the
+    exact-Jaccard verification, a narrow JVM re-shingling joined against
+    the few surviving candidate pairs.
+
+    Output writes are batch-id-keyed partitions of ``out_dir``
+    (``batch=<id>``, mode overwrite), so a replayed batch overwrites its
+    own partition instead of appending duplicates — emitted docs are
+    exactly-once per batch id. Returns the started StreamingQuery.
     """
     import os
 
@@ -282,6 +287,15 @@ def streaming_minhash_neardup(
         )
         batch = batch0
         if batch.isEmpty():
+            # Still commit v=batch_id (carry the previous state forward):
+            # the strictly-below read contract is safe only if THIS
+            # lineage writes every version id — a skipped id would let a
+            # stale dead-run dir v=batch_id be picked up by batch_id+1.
+            prev = _latest_state(spark, below=int(batch_id))
+            if prev is not None:
+                prev.write.mode("overwrite").parquet(
+                    os.path.join(state_dir, f"v={batch_id}")
+                )
             batch0.unpersist()
             return
         from pyspark.sql.types import ArrayType, LongType, StructField, StructType
@@ -325,7 +339,12 @@ def streaming_minhash_neardup(
         )
         batch = batch.join(batch_sigs, "id", "left").persist()
         union = batch.unionByName(state)
-        all_sigs = union.select("id", "sig").filter(F.col("sig").isNotNull())
+        # persist managed HERE (persist_sigs=False below): each batch's
+        # plan is distinct, so an operator-internal persist would strand
+        # one CacheManager entry per micro-batch on a long-running stream
+        all_sigs = (
+            union.select("id", "sig").filter(F.col("sig").isNotNull()).persist()
+        )
         pairs = dedup_ops.minhash_lsh_pairs_from_sigs(
             all_sigs,
             union.select("id", "text"),
@@ -335,6 +354,7 @@ def streaming_minhash_neardup(
             num_hashes=num_hashes,
             bands=bands,
             threshold=threshold,
+            persist_sigs=False,
         ).persist()
         state_ids = state.select(F.col("id").alias("sid"))
         # batch docs near-matching an already-emitted (state) doc drop out
@@ -366,11 +386,16 @@ def streaming_minhash_neardup(
         ).select(F.col("doc_id").alias("id"))
         survivors = survivors1.join(keep_ids, "id", "left_semi").persist()
 
+        # batch-id-keyed partition + overwrite = idempotent under
+        # checkpoint replay (a blind append would duplicate every survivor
+        # of a batch replayed after a crash before the checkpoint commit)
         survivors.select(
             F.col("id").alias(id_col),
             F.col("text").alias(text_col),
             F.col("ts").alias(ts_col),
-        ).write.mode("append").parquet(out_dir)
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
 
         # new state = (live state ∪ survivors, each with its signature)
         # within the horizon (the state side is already filtered; a
@@ -383,6 +408,7 @@ def streaming_minhash_neardup(
             os.path.join(state_dir, f"v={batch_id}")
         )
         pairs.unpersist()
+        all_sigs.unpersist()
         survivors.unpersist()
         batch.unpersist()
         batch0.unpersist()

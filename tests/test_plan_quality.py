@@ -120,12 +120,14 @@ def test_interval_join_is_binned_equijoin(spark):
 
 
 def test_asof_join_single_shuffle(spark):
-    """The as-of join is union + one window: exactly one Exchange (on the
-    key), never a join operator at all."""
+    """The as-of join is union + one window: NO join operator of any kind
+    in the plan, and the only Exchanges are the window's key partitioning
+    plus the one the query's own right-side (user_id, ts) dedup agg adds —
+    a regression to a sort-merge/hash join or extra shuffles fails."""
     plan = _executed(entry_mod.q_events_asof_join(spark, SF))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Join") == 0, plan
     assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
 def test_corpus_curation_lsh_no_cartesian(spark):
