@@ -225,27 +225,34 @@ def q_events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (SURVEY §2.3 breadth): every click event enriched with
-    the value of the user's most recent purchase at-or-before it —
-    union + carry-forward window (one shuffle on the key, nothing
-    quadratic; operators/joins.py). Oracle: a true DuckDB ASOF LEFT JOIN,
-    independently implemented semantics."""
+    the user's most recent at-or-before purchase — BOTH its value and its
+    same-timestamp purchase count, carried atomically from the one matched
+    right row (multi-column struct carry) — union + carry-forward window
+    (one shuffle on the key, nothing quadratic; operators/joins.py).
+    Oracle: a true DuckDB ASOF LEFT JOIN, independently implemented
+    semantics, selecting the same two carried columns."""
     from adaptive_pdf_extractor_spark.operators.joins import asof_join
 
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     right = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("ref_value"))
+        .agg(
+            F.max("value").alias("ref_value"),
+            F.count("*").alias("n_at_ts"),
+        )
     )
     left = e.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    out = asof_join(left, right, "user_id", "ts", "ref_value")
+    out = asof_join(left, right, "user_id", "ts", ["ref_value", "n_at_ts"])
     # named so the unique non-null event_id sorts first in column-name
     # order: a nullable primary sort column breaks order-insensitive row
     # comparison (None is unordered vs float in the compare harness)
     return out.select(
-        "event_id", F.round("asof_value", 2).alias("prior_purchase_value")
+        "event_id",
+        F.round("asof_ref_value", 2).alias("prior_purchase_value"),
+        F.col("asof_n_at_ts").alias("prior_purchase_count"),
     )
 
 
@@ -1032,13 +1039,15 @@ def oracle_sql() -> dict[str, str]:
         # True ASOF JOIN on the oracle side — independently implemented
         # semantics vs the Spark union+carry-forward window
         "events_asof_join": """
-            WITH r AS (SELECT user_id, ts, max(value) AS ref_value
+            WITH r AS (SELECT user_id, ts, max(value) AS ref_value,
+                              count(*) AS n_at_ts
                        FROM events WHERE event_type = 'purchase'
                        GROUP BY 1, 2),
                  l AS (SELECT event_id, user_id, ts FROM events
                        WHERE event_type = 'click')
             SELECT l.event_id,
-                   round(r.ref_value, 2) AS prior_purchase_value
+                   round(r.ref_value, 2) AS prior_purchase_value,
+                   r.n_at_ts AS prior_purchase_count
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,

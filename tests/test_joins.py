@@ -172,6 +172,136 @@ def test_interval_join_matches_bruteforce(spark):
     assert got == exp and len(exp) > 0
 
 
+def test_asof_join_multi_column_carry(spark):
+    """Multi-column as-of: all carried columns come from the SAME matched
+    right row (atomic struct carry), with per-column defaults asof_<name>
+    and explicit out_col naming."""
+    left = spark.createDataFrame(
+        [("a", _ts(5), 1), ("a", _ts(9), 2), ("b", _ts(5), 3)],
+        "k string, ts timestamp, eid int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts(2), 2.0, "x"),
+            ("a", _ts(7), None, "y"),  # null v rides with tag y atomically
+        ],
+        "k string, ts timestamp, v double, tag string",
+    )
+    out = asof_join(left, right, "k", "ts", ["v", "tag"])
+    assert out.columns == ["k", "ts", "eid", "asof_v", "asof_tag"]
+    got = {r["eid"]: (r["asof_v"], r["asof_tag"]) for r in out.collect()}
+    # eid=2 matches the ts=7 row: v is genuinely null, tag is "y" — a
+    # per-column carry would wrongly pair (2.0-stale? no: v=None) with "y"
+    assert got == {1: (2.0, "x"), 2: (None, "y"), 3: (None, None)}
+    named = asof_join(
+        left, right, "k", "ts", ["v", "tag"], out_col=["val", "label"]
+    )
+    assert named.columns == ["k", "ts", "eid", "val", "label"]
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """DuckDB ASOF JOIN never matches NULL keys; Spark windows group NULL
+    keys together, so without the right-side filter a NULL-key left row
+    would wrongly receive NULL-key right values."""
+    left = spark.createDataFrame(
+        [(None, _ts(5), 1), ("a", _ts(5), 2), ("a", None, 3)],
+        "k string, ts timestamp, eid int",
+    )
+    right = spark.createDataFrame(
+        [(None, _ts(1), 99.0), ("a", _ts(1), 7.0), ("a", None, 55.0)],
+        "k string, ts timestamp, v double",
+    )
+    got = {
+        r["eid"]: r["asof_value"]
+        for r in asof_join(left, right, "k", "ts", "v").collect()
+    }
+    # NULL-key left -> no match; NULL-ts left -> no match; NULL-key and
+    # NULL-ts right rows are invisible
+    assert got == {1: None, 2: 7.0, 3: None}
+
+
+def test_asof_join_reserved_name_collisions(spark):
+    """Left frames owning columns named like the internal helpers (_k,
+    _ts, _side, _rv) must pass through unharmed; an out_col colliding with
+    a left column raises."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [("a", _ts(5), 1, "keepme")],
+        "k string, ts timestamp, _rv int, _side string",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(1), 3.0)], "k string, ts timestamp, v double"
+    )
+    out = asof_join(left, right, "k", "ts", "v")
+    assert out.columns == ["k", "ts", "_rv", "_side", "asof_value"]
+    row = out.collect()[0]
+    assert (row["_rv"], row["_side"], row["asof_value"]) == (1, "keepme", 3.0)
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "k", "ts", "v", out_col="_rv")
+
+
+def test_interval_join_negative_epoch(spark):
+    """Pre-1970 timestamps: epoch micros are negative, where truncation
+    != floor — binning must stay uniform-width and exact (pmod floor
+    arithmetic), and the pair set must match the containment definition."""
+    old = datetime(1969, 12, 31, 23, 59, 30)  # 30s before the epoch
+    events = spark.createDataFrame(
+        [("a", old, 1), ("a", datetime(1970, 1, 1, 0, 0, 5), 2)],
+        "k string, ts timestamp, eid int",
+    )
+    intervals = spark.createDataFrame(
+        [("a", datetime(1969, 12, 31, 23, 59, 0),
+          datetime(1970, 1, 1, 0, 0, 10), 100)],
+        "k string, s timestamp, e timestamp, iid int",
+    )
+    got = {
+        (r["eid"], r["iid"])
+        for r in interval_join(
+            events, intervals, "k", "ts", "s", "e", bin_seconds=7
+        ).collect()
+    }
+    assert got == {(1, 100), (2, 100)}
+
+
+def test_interval_join_auto_bin_and_replication_guard(spark):
+    """Pathological interval lengths: stats-driven bin selection (p99,
+    clamped by the replication budget) gives the right answer, and an
+    explicit mis-chosen bin with max_replication set fails loudly instead
+    of silently multiplying rows."""
+    import pytest
+
+    # 99 one-minute intervals + one 10-day outlier
+    rows_i = [
+        ("a", _ts(i), _ts(i) + timedelta(minutes=1), i) for i in range(49)
+    ]
+    rows_i.append(("a", _ts(0), _ts(0) + timedelta(days=10), 999))
+    events = spark.createDataFrame(
+        [("a", _ts(30), 1)], "k string, ts timestamp, eid int"
+    )
+    intervals = spark.createDataFrame(
+        rows_i, "k string, s timestamp, e timestamp, iid int"
+    )
+    exp = {
+        (1, iid)
+        for (_, s, e, iid) in rows_i
+        if s <= _ts(30) < e
+    }
+    got = {
+        (r["eid"], r["iid"])
+        for r in interval_join(
+            events, intervals, "k", "ts", "s", "e", bin_seconds=None
+        ).collect()
+    }
+    assert got == exp and len(exp) > 1
+    # explicit 1-second bin: the 10-day interval would replicate 864000x
+    with pytest.raises(ValueError, match="max_replication"):
+        interval_join(
+            events, intervals, "k", "ts", "s", "e",
+            bin_seconds=1, max_replication=1000,
+        )
+
+
 def test_asof_join_preserves_left_shape(spark):
     """Left-outer contract: one output row per left row, left columns
     unchanged, only the as-of column added."""
