@@ -534,6 +534,26 @@ def q_embedding_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_knn_join_ivf_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-probe IVF k-NN join (nprobe == n_centroids): every bucket is
+    probed, so the bucket equi-join must reproduce the exact knn_join
+    answer row-for-row — this puts the IVF JOIN PATH itself (bucket
+    assignment, exploded broadcast probes, numpy batch cosine, per-query
+    window) under the DuckDB hash gate by reusing embedding_knn_join's
+    oracle verbatim. The pruned nprobe<n variant stays rows-only by
+    design (approximate); its recall is pinned in tests."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.knn_join_ivf(
+        e.filter(F.col("vec_id") >= 5),
+        e.filter(F.col("vec_id") < 5),
+        "vec_id",
+        "embedding",
+        k=10,
+        n_centroids=16,
+        nprobe=16,
+    )
+
+
 def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation leg (SURVEY §2.7): documents added since a prior
     snapshot — current EXCEPT prior by content identity (anti-join on the
@@ -826,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "embedding_knn_join": q_embedding_knn_join,
         "embedding_knn_join_ivf": q_embedding_knn_join_ivf,
+        "embedding_knn_join_ivf_full": q_embedding_knn_join_ivf_full,
         "embedding_topk": q_embedding_topk,
         "embedding_neardup": q_embedding_neardup,
         "embedding_neardup_lsh": q_embedding_neardup_lsh,
@@ -974,6 +995,29 @@ SELECT doc_id, canonical_id,
 FROM comp
 """
 )
+
+
+# Exact batch k-NN as SQL — the oracle for BOTH embedding_knn_join and the
+# full-probe IVF twin (nprobe == n_centroids prunes nothing, so the bucket
+# equi-join must reproduce this row-for-row).
+_SQL_KNN_JOIN = """
+    SELECT query_id, neighbor_id, rk, round(cos, 6) AS cosine
+    FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(
+                   c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                       c.vec_id ASC
+               ) AS rk
+        FROM embeddings c
+        CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id < 5) q
+        WHERE c.vec_id >= 5
+    ) WHERE rk <= 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1343,24 +1387,11 @@ SELECT k.doc_id, canon.cluster_size,
 FROM kept k JOIN canon ON k.doc_id = canon.doc_id
 """
         ),
-        "embedding_knn_join": """
-            SELECT query_id, neighbor_id, rk, round(cos, 6) AS cosine
-            FROM (
-                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                       list_cosine_similarity(
-                           c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos,
-                       row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY list_cosine_similarity(
-                               c.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
-                               c.vec_id ASC
-                       ) AS rk
-                FROM embeddings c
-                CROSS JOIN (SELECT vec_id, embedding FROM embeddings
-                            WHERE vec_id < 5) q
-                WHERE c.vec_id >= 5
-            ) WHERE rk <= 10
-        """,
+        "embedding_knn_join": _SQL_KNN_JOIN,
+        # the full-probe IVF join must equal the exact join EXACTLY (each
+        # corpus vector lives in one bucket; nprobe == n_centroids probes
+        # all of them) — same oracle, so the IVF path gets its own hash gate
+        "embedding_knn_join_ivf_full": _SQL_KNN_JOIN,
         "embedding_topk": """
             SELECT vec_id AS id,
                    round(list_cosine_similarity(

@@ -40,6 +40,51 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_pairs_np():
+    """Arrow-batched pairwise cosine: two array<double> columns in, one
+    double out — a single numpy elementwise-multiply/row-sum per batch.
+    This is the hot-path form for corpus-scaled candidate sets (the
+    zip_with/aggregate Column folds above are interpreted per element —
+    the banned interpreted-lambda pattern; :func:`cosine` stays as the
+    executable spec and the small-N oracle twin). Numpy's pairwise
+    summation and the Column fold's sequential summation differ only
+    within float rounding — inside the round(…, 6) every consumer emits,
+    pinned by the full-probe == exact test. Null / ragged vectors yield a
+    null cosine (they fall out downstream exactly like a null Column
+    cosine would)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def cos(a, b):
+        out: list = []
+        for start in range(0, len(a), 4096):
+            ca = list(a.iloc[start : start + 4096])
+            cb = list(b.iloc[start : start + 4096])
+            valid = [
+                i
+                for i in range(len(ca))
+                if ca[i] is not None
+                and cb[i] is not None
+                and len(ca[i]) == len(cb[i])
+            ]
+            res: list = [None] * len(ca)
+            if valid:
+                ma = np.array([list(ca[i]) for i in valid], dtype=np.float64)
+                mb = np.array([list(cb[i]) for i in valid], dtype=np.float64)
+                dots = (ma * mb).sum(axis=1)
+                na = np.sqrt((ma * ma).sum(axis=1))
+                nb = np.sqrt((mb * mb).sum(axis=1))
+                vals = dots / (na * nb)
+                for j, i in enumerate(valid):
+                    res[i] = float(vals[j])
+            out.extend(res)
+        return pd.Series(out, dtype="float64")
+
+    cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf("double")(cos)
+
+
 def brute_force_topk(
     df: DataFrame,
     id_col: str,
@@ -409,9 +454,12 @@ def knn_join_ivf(
             F.explode("_probes").alias("_ivf"),
         )
     )
-    cos = _dot(F.col("cvec"), F.col("qvec")) / (
-        _norm(F.col("cvec")) * _norm(F.col("qvec"))
-    )
+    # candidate scoring is corpus-scaled (pruned, but still O(|corpus| x
+    # nprobe / n_centroids) pairs) -> Arrow/numpy batch cosine, not the
+    # interpreted zip_with/aggregate folds (those stay the spec in
+    # :func:`cosine`; agreement inside round-6 pinned by the full-probe ==
+    # exact test)
+    cos = cosine_pairs_np()(F.col("cvec"), F.col("qvec"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("_cos"), F.asc("neighbor_id")
     )
