@@ -474,6 +474,10 @@ def _planted_dups(
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_bucket_size: the mega-cluster guard runs in the GATED query too
+    # (buckets here are pair-sized, so output is bit-identical to the
+    # unguarded path — pinned in tests/test_lsh_guard.py — while the
+    # DuckDB hash check keeps the guarded code path honest)
     return dedup.minhash_lsh_pairs(
         _planted_dups(spark, sf_dir),
         "doc_id",
@@ -482,6 +486,7 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=128,
         bands=32,
         threshold=0.8,
+        max_bucket_size=256,
     )
 
 
@@ -698,11 +703,16 @@ def q_corpus_curation_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal to the exact composition on the oracled corpus in
     tests/test_dedup_similarity.py, the same pattern as
     embedding_neardup_lsh)."""
+    # max_bucket_size=256: the mega-cluster guard — a template flood of m
+    # near-identical docs costs O(m) star candidates per oversized bucket
+    # instead of O(m²) pairs (the clustering consumer only needs
+    # connectivity); under the cap the pair stage is bit-identical
     return curation_pipeline(
         _planted_dups(spark, sf_dir, n=None),
         lambda kept: dedup.minhash_lsh_pairs(
             kept, "doc_id", "text",
             shingle_n=5, num_hashes=128, bands=32, threshold=0.8,
+            max_bucket_size=256,
         ).select("id_a", "id_b"),
     )
 
@@ -762,6 +772,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.95,
         n_planes=8,
         n_tables=4,
+        max_bucket_size=256,
     )
 
 
@@ -789,6 +800,7 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         max_hamming=12,
         n_rotations=4,
+        max_bucket_size=256,
     )
 
 

@@ -186,6 +186,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 32,
     threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
@@ -215,6 +217,8 @@ def minhash_lsh_pairs(
         num_hashes=num_hashes,
         bands=bands,
         threshold=threshold,
+        max_bucket_size=max_bucket_size,
+        observation=observation,
     )
 
 
@@ -229,6 +233,8 @@ def minhash_lsh_pairs_from_sigs(
     bands: int = 32,
     threshold: float = 0.8,
     persist_sigs: bool = True,
+    max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """LSH pair stage over a PRECOMPUTED signature table ``sigs_df``
     (columns ``id``, ``sig``): banding, the >=2-band cut, and the
@@ -240,7 +246,29 @@ def minhash_lsh_pairs_from_sigs(
     ``persist_sigs=False`` for callers that manage the signature frame's
     caching themselves (the streaming loop persists per micro-batch and
     must unpersist after — an internal persist here would strand one
-    CacheManager entry per batch, since each batch's plan is distinct)."""
+    CacheManager entry per batch, since each batch's plan is distinct).
+
+    **Mega-cluster guard** (``max_bucket_size``): a template cluster of m
+    near-identical documents (exact dedup does NOT catch near-identical)
+    lands all m in the same band buckets, and the within-bucket self-join
+    emits O(m²) candidate pairs — at web scale m can be 10⁶⁺, the one
+    quadratic regime of the banded formulation. With ``max_bucket_size``
+    set, buckets larger than the cap switch from all-pairs to STAR edges
+    (bucket-min id -> member): O(m) candidates per oversized bucket,
+    connectivity-preserving for the clustering consumer. Star edges
+    bypass the >=2-band evidence cut (an oversized full-band collision is
+    already overwhelming evidence) but still pass the signature prefilter
+    and the exact-Jaccard verification, so the guard never ADDS a false
+    pair — it can only omit non-spanning-tree pairs inside oversized
+    buckets (callers consuming raw pairs per-pair, not as a graph, should
+    size the cap above their largest expected true cluster). Buckets at
+    or under the cap are bit-identical to the unguarded path.
+
+    Pass a ``pyspark.sql.Observation`` as ``observation`` for the loud
+    metric: ``star_candidate_rows`` (0 when no bucket was oversized) and
+    ``max_oversized_bucket`` arrive at ``observation.get`` after the
+    query's first action — the production signal that a corpus is in the
+    template-flood regime."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
 
@@ -280,15 +308,53 @@ def minhash_lsh_pairs_from_sigs(
     # count-based cut happens BEFORE any data is joined to the pairs, so
     # the million-candidate shuffle carries only (id, id) + a count.
     min_bands = 2 if bands >= 8 else 1
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .count()
-        .filter(F.col("count") >= min_bands)
-        .select("id_a", "id_b")
-    )
+    if max_bucket_size is None:
+        cand = (
+            banded.alias("x")
+            .join(banded.alias("y"), ["band", "bucket"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .count()
+            .filter(F.col("count") >= min_bands)
+            .select("id_a", "id_b")
+        )
+    else:
+        from pyspark.sql.window import Window
+
+        # one shuffle on (band, bucket) annotates every banded row with
+        # its bucket's size and min id; buckets under the cap take the
+        # exact all-pairs path, oversized ones emit O(m) star edges
+        wb = Window.partitionBy("band", "bucket")
+        sized = banded.withColumn("_bsz", F.count("*").over(wb)).withColumn(
+            "_bmin", F.min("id").over(wb)
+        )
+        small = sized.filter(F.col("_bsz") <= max_bucket_size).select(
+            "id", "band", "bucket"
+        )
+        small_pairs = (
+            small.alias("x")
+            .join(small.alias("y"), ["band", "bucket"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .count()
+            .filter(F.col("count") >= min_bands)
+            .select("id_a", "id_b")
+        )
+        big = sized.filter(
+            (F.col("_bsz") > max_bucket_size) & (F.col("id") != F.col("_bmin"))
+        ).select(
+            F.col("_bmin").alias("id_a"), F.col("id").alias("id_b"), "_bsz"
+        )
+        if observation is not None:
+            big = big.observe(
+                observation,
+                F.count("*").alias("star_candidate_rows"),
+                F.max("_bsz").alias("max_oversized_bucket"),
+            )
+        # distinct over the union: the same pair can arise as a small-
+        # bucket pair in one band and a star edge in another — verifying
+        # it twice would emit duplicate output rows
+        cand = small_pairs.unionByName(big.drop("_bsz")).distinct()
 
     # Two-stage verification. On homogeneous corpora (web text hovers
     # around j~0.2 pairwise) band collisions produce ~P(j^rows) x n^2
@@ -421,6 +487,8 @@ def simhash_pairs(
     max_hamming: int = 3,
     prefix_bits: int = 16,
     n_rotations: int = 1,
+    max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, bucketed by the top
     ``prefix_bits`` of the signature to avoid the full cross join.
@@ -431,7 +499,13 @@ def simhash_pairs(
     agrees on its prefix — the OR-amplification that takes recall at
     hamming <= h from one prefix's (64-prefix_bits choose h)/(64 choose h)
     toward 1 while cost stays ~n_rotations buckets per row. Pairs dedupe as
-    bare ids before the (verified, exact) hamming filter."""
+    bare ids before the (verified, exact) hamming filter.
+
+    ``max_bucket_size`` is the mega-cluster guard (same contract as
+    ``minhash_lsh_pairs_from_sigs``): a prefix bucket larger than the cap
+    emits star edges (bucket-min -> member, still exact-hamming-verified)
+    instead of O(m²) all-pairs; ``observation`` receives
+    ``star_candidate_rows`` / ``max_oversized_bucket``."""
     sigs = _spread(df).select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
     )
@@ -457,9 +531,45 @@ def simhash_pairs(
     buck = sigs.select(
         "id", "sig", F.explode(F.array(*rot_buckets)).alias("rb")
     ).select("id", "sig", "rb.rot", "rb.bucket")
-    x, y = buck.alias("x"), buck.alias("y")
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        wb = Window.partitionBy("rot", "bucket")
+        # struct-min carries the bucket-min's SIGNATURE atomically with
+        # its id (struct ordering compares id first), so star edges can
+        # compute their exact hamming without a join back to sigs
+        sized = buck.withColumn("_bsz", F.count("*").over(wb)).withColumn(
+            "_bmin", F.min(F.struct("id", "sig")).over(wb)
+        )
+        small = sized.filter(F.col("_bsz") <= max_bucket_size).select(
+            "id", "sig", "rot", "bucket"
+        )
+        big = sized.filter(
+            (F.col("_bsz") > max_bucket_size)
+            & (F.col("id") != F.col("_bmin.id"))
+        ).select(
+            F.col("_bmin.id").alias("id_a"),
+            F.col("id").alias("id_b"),
+            F.bit_count(
+                F.col("_bmin.sig").bitwiseXOR(F.col("sig"))
+            ).alias("hamming"),
+            "_bsz",
+        )
+        if observation is not None:
+            big = big.observe(
+                observation,
+                F.count("*").alias("star_candidate_rows"),
+                F.max("_bsz").alias("max_oversized_bucket"),
+            )
+        star = (
+            big.drop("_bsz")
+            .filter(F.col("hamming") <= max_hamming)
+        )
+    else:
+        small, star = buck, None
+    x, y = small.alias("x"), small.alias("y")
     hamming = F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig")))
-    return (
+    pairs = (
         x.join(y, ["rot", "bucket"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(
@@ -468,8 +578,10 @@ def simhash_pairs(
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 # ---------------------------------------------------------------------------

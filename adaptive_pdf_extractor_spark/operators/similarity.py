@@ -537,6 +537,8 @@ def embedding_neardup_pairs(
     n_tables: int = 1,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold.
 
@@ -549,6 +551,14 @@ def embedding_neardup_pairs(
       deduped as bare (id_a, id_b) BEFORE vectors join back for the exact
       cosine verification — the 100 TB path: no vector payload rides the
       bucket shuffle.
+
+    ``max_bucket_size`` is the mega-cluster guard (same contract as
+    ``dedup.minhash_lsh_pairs_from_sigs``): a sign bucket larger than the
+    cap emits star candidates (bucket-min -> member) instead of O(m²)
+    all-pairs — a cluster of m near-identical embeddings otherwise floods
+    the bucket self-join. Star candidates still pass the exact cosine
+    verification, so no false pair is ever added; ``observation`` receives
+    ``star_candidate_rows`` / ``max_oversized_bucket``.
     """
     # Norms are hoisted out of the O(pairs) loop: computed once per row
     # (same fold order as inline, so the float result — and the DuckDB
@@ -576,13 +586,47 @@ def embedding_neardup_pairs(
         buck = base.select(
             "id", F.posexplode(bucket_udf(F.col("vec"))).alias("tab", "bucket")
         )
-        cand = (
-            buck.alias("x")
-            .join(buck.alias("y"), ["tab", "bucket"])
-            .filter(F.col("x.id") < F.col("y.id"))
-            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-            .distinct()
-        )
+        if max_bucket_size is not None:
+            from pyspark.sql.window import Window
+
+            wb = Window.partitionBy("tab", "bucket")
+            sized = buck.withColumn("_bsz", F.count("*").over(wb)).withColumn(
+                "_bmin", F.min("id").over(wb)
+            )
+            small = sized.filter(F.col("_bsz") <= max_bucket_size).select(
+                "id", "tab", "bucket"
+            )
+            small_pairs = (
+                small.alias("x")
+                .join(small.alias("y"), ["tab", "bucket"])
+                .filter(F.col("x.id") < F.col("y.id"))
+                .select(
+                    F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+                )
+            )
+            big = sized.filter(
+                (F.col("_bsz") > max_bucket_size)
+                & (F.col("id") != F.col("_bmin"))
+            ).select(
+                F.col("_bmin").alias("id_a"), F.col("id").alias("id_b"), "_bsz"
+            )
+            if observation is not None:
+                big = big.observe(
+                    observation,
+                    F.count("*").alias("star_candidate_rows"),
+                    F.max("_bsz").alias("max_oversized_bucket"),
+                )
+            cand = small_pairs.unionByName(big.drop("_bsz")).distinct()
+        else:
+            cand = (
+                buck.alias("x")
+                .join(buck.alias("y"), ["tab", "bucket"])
+                .filter(F.col("x.id") < F.col("y.id"))
+                .select(
+                    F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
+                )
+                .distinct()
+            )
         joined = cand.join(xa, "id_a").join(xb, "id_b")
     else:
         joined = xa.crossJoin(xb).filter(F.col("id_a") < F.col("id_b"))

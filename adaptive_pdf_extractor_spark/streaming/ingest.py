@@ -205,6 +205,7 @@ def streaming_minhash_neardup(
     shingle_n: int = 5,
     num_hashes: int = 128,
     bands: int = 32,
+    max_bucket_size: Optional[int] = 256,
     checkpoint_dir: Optional[str] = None,
 ):
     """Streaming minhash-LSH NEAR-dup dedup: the approximate twin of
@@ -345,6 +346,10 @@ def streaming_minhash_neardup(
         all_sigs = (
             union.select("id", "sig").filter(F.col("sig").isNotNull()).persist()
         )
+        # max_bucket_size: a template flood arriving on the stream would
+        # otherwise cost O(m²) candidate pairs per micro-batch INSIDE the
+        # state horizon (the guard is default-on here — streams can't
+        # pre-inspect their corpus)
         pairs = dedup_ops.minhash_lsh_pairs_from_sigs(
             all_sigs,
             union.select("id", "text"),
@@ -355,6 +360,7 @@ def streaming_minhash_neardup(
             bands=bands,
             threshold=threshold,
             persist_sigs=False,
+            max_bucket_size=max_bucket_size,
         ).persist()
         state_ids = state.select(F.col("id").alias("sid"))
         # batch docs near-matching an already-emitted (state) doc drop out

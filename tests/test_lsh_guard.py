@@ -1,0 +1,237 @@
+"""Mega-cluster guard for the LSH pair stages (minhash, simhash,
+embedding): a template cluster of m mutually-NEAR-identical documents
+(NOT exact duplicates — exact dedup must not be the shield) must flow
+through the pair stages with O(m) candidate rows per oversized bucket
+instead of O(m²), while corpora whose buckets stay under the cap produce
+bit-identical output to the unguarded path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from adaptive_pdf_extractor_spark.operators import dedup, similarity
+
+# ~640 chars, stopword-rich (passes the curation quality gate), shared by
+# every member of a planted mega-cluster; each doc appends a unique marker
+# so no two docs are EXACT duplicates but every pair has jaccard ~0.94.
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs down to the "
+    "river where it drinks some cool water before returning to the den "
+    "for a long rest in the warm afternoon sun with many other foxes "
+    "that share the same quiet forest and enjoy the calm shade of old "
+    "oak trees near the gentle stream that flows past mossy stones and "
+    "reeds while birds sing in the branches above and small fish swim "
+    "between the smooth pebbles of the river bed as the light fades and "
+    "the evening settles softly over the hills and the meadow grass bends "
+    "in the mild wind that carries the scent of pine across the valley"
+)
+
+
+def _mega_docs(spark, m: int, partitions: int = 8):
+    """m near-identical documents: shared base + unique marker suffix."""
+    return spark.range(0, m, 1, partitions).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(BASE + " unique marker u"),
+            F.lpad(F.col("id").cast("string"), 7, "0"),
+        ).alias("text"),
+    )
+
+
+def _mixed_docs(spark):
+    """Small-cluster corpus (pairs only): base docs + one near-dup each —
+    no bucket comes near any cap, so guarded == unguarded must hold
+    bit-for-bit."""
+    rows = []
+    for i in range(30):
+        t = f"document number {i:03d} " + BASE[: 400 + i]
+        rows.append({"doc_id": i, "text": t})
+        rows.append({"doc_id": 1000 + i, "text": t[12:]})
+    return spark.createDataFrame(rows)
+
+
+def test_minhash_guard_bit_compatible_under_cap(spark):
+    docs = _mixed_docs(spark)
+    unguarded = sorted(
+        tuple(r)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    )
+    obs = Observation("cap_compat")
+    guarded = sorted(
+        tuple(r)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8,
+            max_bucket_size=64, observation=obs,
+        ).collect()
+    )
+    assert guarded == unguarded and len(guarded) >= 30
+    got = obs.get
+    assert got["star_candidate_rows"] == 0
+    assert got["max_oversized_bucket"] is None
+
+
+def test_minhash_guard_bounds_mega_cluster(spark):
+    """m=400 near-identical docs: the unguarded path would enumerate
+    ~m²/2 pairs per colliding band bucket; the guard emits star edges —
+    O(m) candidates per oversized bucket — and the clustering consumer
+    still sees ONE connected component covering every doc."""
+    m, cap, bands = 400, 64, 32
+    docs = _mega_docs(spark, m)
+    obs = Observation("mega")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.8,
+        bands=bands, max_bucket_size=cap, observation=obs,
+    )
+    clusters = dedup.neardup_clusters(
+        docs.select(F.col("doc_id").alias("id")), pairs.select("id_a", "id_b")
+    ).collect()
+    got = obs.get
+    # loud metric: the template-flood regime is visible and bounded
+    assert got["max_oversized_bucket"] > cap
+    assert 0 < got["star_candidate_rows"] <= bands * (m - 1)
+    # connectivity preserved: one component, min id canonical
+    assert {r["canonical_id"] for r in clusters} == {0}
+    assert all(r["cluster_size"] == m for r in clusters)
+
+
+def test_minhash_guard_star_edges_are_verified_true_pairs(spark):
+    """Guard output is a SUBSET of the exact jaccard>=t pair set (star
+    edges still pass signature prefilter + exact verification — the guard
+    never invents a pair)."""
+    m = 150
+    docs = _mega_docs(spark, m)
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.8, max_bucket_size=32
+        ).collect()
+    }
+    # exact ground truth on a sample of guarded pairs: every emitted pair
+    # must satisfy jaccard >= 0.8 by the brute-force definition
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    assert guarded and guarded <= exact
+
+
+def test_curation_lsh_flows_5k_mega_cluster(spark):
+    """The round-4 acceptance bar: 5,000 near-identical (non-exact-dup)
+    docs flow through the LSH curation composition with candidate rows
+    bounded by the star guard (metric-pinned), collapsing to a single
+    canonical."""
+    import __spark_entry__ as entry_mod
+
+    m, cap, bands = 5000, 256, 32
+    docs = _mega_docs(spark, m, partitions=16)
+    obs = Observation("curation_mega")
+    out = entry_mod.curation_pipeline(
+        docs,
+        lambda kept: dedup.minhash_lsh_pairs(
+            kept, "doc_id", "text",
+            shingle_n=5, num_hashes=128, bands=32, threshold=0.8,
+            max_bucket_size=cap, observation=obs,
+        ).select("id_a", "id_b"),
+    ).collect()
+    got = obs.get
+    assert got["max_oversized_bucket"] > cap
+    # bounded candidate generation: O(bands * m), nowhere near m²/2
+    assert 0 < got["star_candidate_rows"] <= bands * (m - 1)
+    # the whole flood collapses to (near-)one canonical; every kept doc is
+    # accounted for in some cluster
+    assert len(out) < 10
+    assert sum(r["cluster_size"] for r in out) == m
+
+
+def test_simhash_guard_bit_compatible_and_bounded(spark):
+    docs = _mixed_docs(spark)
+    unguarded = sorted(
+        tuple(r)
+        for r in dedup.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=12, n_rotations=4
+        ).collect()
+    )
+    guarded = sorted(
+        tuple(r)
+        for r in dedup.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=12, n_rotations=4,
+            max_bucket_size=64,
+        ).collect()
+    )
+    assert guarded == unguarded and len(guarded) >= 30
+    # mega cluster: bounded star candidates, connectivity preserved
+    m, cap = 300, 48
+    mega = _mega_docs(spark, m)
+    obs = Observation("simhash_mega")
+    pairs = dedup.simhash_pairs(
+        mega, "doc_id", "text", max_hamming=12, n_rotations=4,
+        max_bucket_size=cap, observation=obs,
+    )
+    clusters = dedup.neardup_clusters(
+        mega.select(F.col("doc_id").alias("id")), pairs.select("id_a", "id_b")
+    ).collect()
+    got = obs.get
+    assert got["max_oversized_bucket"] > cap
+    assert 0 < got["star_candidate_rows"] <= 4 * (m - 1)
+    assert {r["canonical_id"] for r in clusters} == {0}
+
+
+def test_embedding_guard_bit_compatible_and_bounded(spark):
+    # small-bucket corpus: deterministic spread-out vectors + one planted
+    # near-dup pair; guarded == unguarded bit-for-bit
+    import math
+
+    def vec(i: int, eps: float = 0.0):
+        return [
+            math.sin(0.7 * i + 0.31 * d) + eps * (1 + d % 3)
+            for d in range(16)
+        ]
+
+    rows = [(i, vec(i)) for i in range(80)] + [
+        (1000 + i, vec(i, eps=1e-4)) for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.95, n_planes=6, n_tables=3)
+    unguarded = sorted(
+        tuple(r)
+        for r in similarity.embedding_neardup_pairs(
+            docs, "vec_id", "embedding", **kw
+        ).collect()
+    )
+    guarded = sorted(
+        tuple(r)
+        for r in similarity.embedding_neardup_pairs(
+            docs, "vec_id", "embedding", max_bucket_size=64, **kw
+        ).collect()
+    )
+    assert guarded == unguarded and len(guarded) >= 5
+    # mega cluster: m near-identical embeddings land in one sign bucket
+    # per table; the guard emits star candidates and the exact cosine
+    # verify keeps them all (cosine ~1)
+    m, cap = 300, 48
+    mega_rows = [
+        (i, [x * (1 + 1e-5 * ((i + d) % 7)) for d, x in enumerate(vec(3))])
+        for i in range(m)
+    ]
+    mega = spark.createDataFrame(
+        mega_rows, "vec_id long, embedding array<double>"
+    )
+    obs = Observation("embedding_mega")
+    pairs = similarity.embedding_neardup_pairs(
+        mega, "vec_id", "embedding", max_bucket_size=cap,
+        observation=obs, **kw
+    )
+    clusters = dedup.neardup_clusters(
+        mega.select(F.col("vec_id").alias("id")),
+        pairs.select("id_a", "id_b"),
+    ).collect()
+    got = obs.get
+    assert got["max_oversized_bucket"] > cap
+    assert 0 < got["star_candidate_rows"] <= 3 * (m - 1)
+    assert {r["canonical_id"] for r in clusters} == {0}

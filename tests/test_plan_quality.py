@@ -148,3 +148,56 @@ def test_corpus_curation_lsh_no_cartesian(spark):
     )
     assert "CartesianProduct" not in pair_plan
     assert "BroadcastNestedLoopJoin" not in pair_plan
+
+
+def test_lsh_guard_bounds_planted_skew(spark):
+    """Planted-skew regression for the mega-cluster guard: a corpus whose
+    largest band bucket is ~100x every other bucket must (a) plan the
+    guarded pair stage with no cartesian/nested loop and a window-based
+    bucket sizing, and (b) bound the skewed bucket's candidate volume to
+    star edges — O(m) rows, metric-pinned — instead of the O(m²) the
+    unguarded self-join would feed the widest task."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from adaptive_pdf_extractor_spark.operators import dedup
+    from tests.test_lsh_guard import BASE
+
+    m, cap, bands = 200, 16, 32
+    # 20 normal docs in pair-sized buckets + one m-doc near-identical
+    # flood: the flood's band buckets are ~100x the pair buckets
+    normal = spark.range(0, 20, 1, 4).select(
+        (F.col("id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("standalone item "),
+            F.col("id").cast("string"),
+            F.lit(" " + BASE[: 300]),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    flood = spark.range(0, m, 1, 4).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(BASE + " unique marker u"),
+            F.lpad(F.col("id").cast("string"), 7, "0"),
+        ).alias("text"),
+    )
+    docs = normal.unionByName(flood)
+    obs = Observation("skew_guard")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.8,
+        bands=bands, max_bucket_size=cap, observation=obs,
+    )
+    plan = _executed(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan  # the bucket-sizing guard is in the plan
+    n_pairs = pairs.count()
+    got = obs.get
+    # the skewed bucket is seen and bounded: star candidates are O(n) per
+    # band (n = all 220 docs — a few "normal" docs share enough BASE text
+    # to fall into flood buckets), never the ~m²/2 = 19,900 pairs per
+    # bucket the self-join emits
+    assert got["max_oversized_bucket"] > 100 * 2  # ~100x the pair buckets
+    assert 0 < got["star_candidate_rows"] <= bands * (m + 20 - 1)
+    assert n_pairs >= m - 1  # the flood still fully connects
