@@ -160,6 +160,119 @@ def read_table(
     raise ValueError(f"unknown catalog {catalog!r}; expected one of {CATALOGS}")
 
 
+# ---------------------------------------------------------------------------
+# versioned state tables (micro-batch operator state through the catalog seam)
+# ---------------------------------------------------------------------------
+
+# Version marker column used on catalogs that keep ONE table with snapshot
+# replace (Iceberg) instead of one directory per version (parquet).
+STATE_VERSION_COL = "_state_version"
+
+
+def write_state_version(
+    df: DataFrame, state_dir: str, version: int, catalog: str = "parquet"
+) -> None:
+    """Commit one version of a micro-batch operator's state table.
+
+    * ``parquet`` (sandbox fallback): ``state_dir/v=<version>`` directory,
+      mode overwrite — the write-new-then-read layout (parquet can't
+      overwrite a directory that feeds the same plan).
+    * ``iceberg``: ONE table at ``state_dir``, snapshot-REPLACED per
+      commit, with ``_state_version`` stamped on every row — the cluster
+      form: old versions stay reachable through Iceberg snapshot history
+      (no directory juggling, automatic expiry via snapshot retention).
+    """
+    if catalog == "parquet":
+        import os
+
+        df.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v={int(version)}")
+        )
+    elif catalog == "iceberg":
+        _require_iceberg(df.sparkSession)
+        (
+            df.withColumn(STATE_VERSION_COL, F.lit(int(version)))
+            .write.format("iceberg")
+            .mode("overwrite")
+            .save(state_dir)
+        )
+    else:
+        raise ValueError(
+            f"unknown catalog {catalog!r}; expected one of {CATALOGS}"
+        )
+
+
+def read_state_version_below(
+    spark: SparkSession, state_dir: str, below: int, catalog: str = "parquet"
+) -> Optional[DataFrame]:
+    """Latest committed state version STRICTLY BELOW ``below``, or None.
+
+    The strictly-below contract is what makes checkpoint replay
+    idempotent: a replayed batch (crash between the state commit and the
+    checkpoint commit) rebuilds its own version from its predecessor's,
+    never reading the half-committed one (see
+    streaming.ingest.streaming_minhash_neardup).
+
+    * ``parquet``: newest ``v=<n>`` directory with n < below.
+    * ``iceberg``: the current snapshot if its stamped version qualifies,
+      else walk the snapshot history (newest first) via time travel until
+      a qualifying version appears — snapshot-replace keeps each version
+      as one snapshot, so the walk is exactly the parquet directory scan
+      expressed through table metadata. Caveat (documented, jar-gated): a
+      version whose frame is EMPTY carries no row to stamp, so the walk
+      skips it toward the newest non-empty qualifying snapshot; stamping
+      the version in the snapshot's summary properties (Iceberg Java API)
+      removes that ambiguity and is the production refinement.
+    """
+    if catalog == "parquet":
+        import os
+
+        if not os.path.isdir(state_dir):
+            return None
+        versions = sorted(
+            v
+            for d in os.listdir(state_dir)
+            if d.startswith("v=")
+            and (v := int(d.split("=", 1)[1])) < below
+        )
+        if not versions:
+            return None
+        return spark.read.parquet(
+            os.path.join(state_dir, f"v={versions[-1]}")
+        )
+    elif catalog == "iceberg":
+        _require_iceberg(spark)
+
+        def _version_of(df: DataFrame):
+            return df.select(F.max(STATE_VERSION_COL)).first()[0]
+
+        try:
+            cur = spark.read.format("iceberg").load(state_dir)
+        except Exception:
+            return None  # table does not exist yet
+        v = _version_of(cur)
+        if v is not None and int(v) < below:
+            return cur.drop(STATE_VERSION_COL)
+        snaps = (
+            spark.read.format("iceberg")
+            .load(f"{state_dir}.snapshots")
+            .select("snapshot_id", "committed_at")
+            .orderBy(F.desc("committed_at"))
+            .collect()
+        )
+        for s in snaps:
+            df = (
+                spark.read.option("snapshot-id", s["snapshot_id"])
+                .format("iceberg")
+                .load(state_dir)
+            )
+            v = _version_of(df)
+            if v is not None and int(v) < below:
+                return df.drop(STATE_VERSION_COL)
+        return None
+    raise ValueError(f"unknown catalog {catalog!r}; expected one of {CATALOGS}")
+
+
 def spans_equal_expr() -> "F.Column":
     """Order-sensitive span-sequence equality predicate (kind, text,
     media_ref, order) between columns ``a.spans`` and ``b.spans`` — the

@@ -207,6 +207,7 @@ def streaming_minhash_neardup(
     bands: int = 32,
     max_bucket_size: Optional[int] = 256,
     checkpoint_dir: Optional[str] = None,
+    state_catalog: str = "parquet",
 ):
     """Streaming minhash-LSH NEAR-dup dedup: the approximate twin of
     :func:`streaming_exact_dedup`. Each micro-batch runs the batch LSH
@@ -226,12 +227,18 @@ def streaming_minhash_neardup(
     A near-dup arriving after its original aged out IS re-emitted — the
     same contract the built-in watermarked dedup has.
 
-    State versions are written to ``state_dir/v=<batch_id>`` (write-new-
-    then-read pattern: parquet can't overwrite a dir that feeds the same
-    plan), and each batch reads the newest version STRICTLY BELOW its own
-    batch id so checkpoint replay is idempotent; on a real cluster this is
-    one small Iceberg/Delta table with snapshot replace. A state_dir
-    belongs to one checkpoint lineage — pair them.
+    State versions go through the ``spark_io`` catalog seam
+    (``write_state_version`` / ``read_state_version_below``):
+    ``state_catalog='parquet'`` (default, the sandbox form) writes
+    ``state_dir/v=<batch_id>`` directories (write-new-then-read pattern:
+    parquet can't overwrite a dir that feeds the same plan);
+    ``state_catalog='iceberg'`` snapshot-REPLACES one table per commit
+    when the runtime jar is present. Each batch reads the newest version
+    STRICTLY BELOW its own batch id so checkpoint replay is idempotent,
+    and EVERY batch — including empty ones on a fresh lineage — commits
+    version batch_id, so a stale dead-run version can never be picked up
+    by a later batch of this lineage. A state_dir belongs to one
+    checkpoint lineage — pair them.
 
     The state table IS the signature table: each admitted doc's minhash
     signature persists alongside its text/ts, so the expensive per-doc
@@ -250,33 +257,22 @@ def streaming_minhash_neardup(
     import os
 
     from ..operators import dedup as dedup_ops
+    from ..sources import spark_io
 
-    def _latest_state(spark: SparkSession, below: int):
-        """Latest committed state STRICTLY BELOW the current batch id.
-        Reading v=batch_id itself would deadlock recovery: a replayed
-        batch (crash between the state write and the checkpoint commit)
-        would lazily read state_dir/v=batch_id while mode('overwrite')
-        deletes it under the scan (observed: FAILED_READ_FILE on every
-        restart). Keying reads to < batch_id makes replay idempotent —
-        the replayed batch rebuilds v=batch_id from v=batch_id-1, exactly
-        as the original attempt did. (Consequence: a state_dir belongs to
-        ONE checkpoint lineage; a fresh checkpoint restarts batch ids at 0
-        and correctly sees an empty state.)"""
-        if not os.path.isdir(state_dir):
-            return None
-        versions = sorted(
-            v
-            for d in os.listdir(state_dir)
-            if d.startswith("v=") and (v := int(d.split("=", 1)[1])) < below
-        )
-        if not versions:
-            return None
-        return spark.read.parquet(
-            os.path.join(state_dir, f"v={versions[-1]}")
-        )
+    # Reading v=batch_id itself would deadlock recovery: a replayed batch
+    # (crash between the state write and the checkpoint commit) would
+    # lazily read version batch_id while the overwrite deletes it under
+    # the scan (observed: FAILED_READ_FILE on every restart). Keying reads
+    # to < batch_id (spark_io.read_state_version_below) makes replay
+    # idempotent — the replayed batch rebuilds v=batch_id from
+    # v=batch_id-1, exactly as the original attempt did. (Consequence: a
+    # state_dir belongs to ONE checkpoint lineage; a fresh checkpoint
+    # restarts batch ids at 0 and commits every version id from there.)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
         batch0 = (
             batch_df.select(
                 F.col(id_col).alias("id"),
@@ -287,27 +283,33 @@ def streaming_minhash_neardup(
             .persist()
         )
         batch = batch0
-        if batch.isEmpty():
-            # Still commit v=batch_id (carry the previous state forward):
-            # the strictly-below read contract is safe only if THIS
-            # lineage writes every version id — a skipped id would let a
-            # stale dead-run dir v=batch_id be picked up by batch_id+1.
-            prev = _latest_state(spark, below=int(batch_id))
-            if prev is not None:
-                prev.write.mode("overwrite").parquet(
-                    os.path.join(state_dir, f"v={batch_id}")
-                )
-            batch0.unpersist()
-            return
-        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
-
         # build a fresh StructType: StructType.add mutates in place and
         # df.schema may be a cached object
         state_schema = StructType(
             list(batch.schema.fields)
             + [StructField("sig", ArrayType(LongType()))]
         )
-        state = _latest_state(spark, below=int(batch_id))
+        if batch.isEmpty():
+            # Still commit v=batch_id: the strictly-below read contract is
+            # safe only if THIS lineage writes every version id — a
+            # skipped id would let a stale dead-run version batch_id be
+            # picked up by batch_id+1. With no predecessor (fresh lineage
+            # whose first batches are empty), commit an EMPTY state frame:
+            # leaving the slot unwritten would hand a dead run's v=0 to
+            # batch 1 as if this lineage had produced it.
+            prev = spark_io.read_state_version_below(
+                spark, state_dir, below=int(batch_id), catalog=state_catalog
+            )
+            if prev is None:
+                prev = spark.createDataFrame([], state_schema)
+            spark_io.write_state_version(
+                prev, state_dir, int(batch_id), catalog=state_catalog
+            )
+            batch0.unpersist()
+            return
+        state = spark_io.read_state_version_below(
+            spark, state_dir, below=int(batch_id), catalog=state_catalog
+        )
         if state is None:
             state = spark.createDataFrame([], state_schema)
         # Evict BEFORE matching: the horizon advances with this batch's max
@@ -410,8 +412,11 @@ def streaming_minhash_neardup(
             state.unionByName(survivors.select("id", "text", "ts", "sig"))
             .filter(F.col("ts") >= horizon)
         )
-        new_state.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v={batch_id}")
+        # catalog seam: parquet writes state_dir/v=<batch_id>; iceberg
+        # snapshot-replaces one table (reads pinned their snapshot above,
+        # so the self-overwrite is safe under Iceberg's isolation)
+        spark_io.write_state_version(
+            new_state, state_dir, int(batch_id), catalog=state_catalog
         )
         pairs.unpersist()
         all_sigs.unpersist()

@@ -55,3 +55,41 @@ def test_iceberg_write_read_roundtrip(spark, tmp_path):
     )
     spark_io.write_table(df, path, mode="append", catalog="iceberg")
     assert spark_io.read_table(spark, path, catalog="iceberg").count() == 100
+
+
+@pytest.mark.skipif(
+    not _iceberg_jar_present(),
+    reason="iceberg-spark-runtime jar not on the classpath",
+)
+def test_iceberg_versioned_state_strictly_below(spark, tmp_path):
+    """Versioned micro-batch state through the Iceberg leg of the catalog
+    seam: each commit snapshot-replaces ONE table, and
+    read_state_version_below honors the strictly-below replay contract by
+    walking snapshot history — the cluster form of the parquet
+    v=<n>-directory fallback (streaming near-dup's state mechanics)."""
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    if ICEBERG_EXT not in ext:
+        pytest.skip(
+            "jar present but session lacks the Iceberg extension; rerun "
+            f"with spark.sql.extensions={ICEBERG_EXT} and a "
+            "spark.sql.catalog.* entry"
+        )
+    path = str(tmp_path / "ice_state")
+    v0 = spark.createDataFrame([("a", 1)], "id string, n int")
+    v1 = spark.createDataFrame([("b", 2), ("c", 3)], "id string, n int")
+    assert (
+        spark_io.read_state_version_below(spark, path, 1, catalog="iceberg")
+        is None
+    )
+    spark_io.write_state_version(v0, path, 0, catalog="iceberg")
+    spark_io.write_state_version(v1, path, 1, catalog="iceberg")
+    # current snapshot qualifies (1 < 2)
+    got = spark_io.read_state_version_below(spark, path, 2, catalog="iceberg")
+    assert sorted(tuple(r) for r in got.collect()) == [("b", 2), ("c", 3)]
+    # strictly-below: replaying batch 1 must see v0, not its own commit
+    got = spark_io.read_state_version_below(spark, path, 1, catalog="iceberg")
+    assert sorted(tuple(r) for r in got.collect()) == [("a", 1)]
+    assert (
+        spark_io.read_state_version_below(spark, path, 0, catalog="iceberg")
+        is None
+    )

@@ -315,6 +315,82 @@ def test_streaming_neardup_redelivery_and_stale_state_versions(spark, tmp_path):
     assert "stale/0" not in ids
 
 
+def test_streaming_neardup_empty_batch0_shadows_stale_lineage(spark, tmp_path):
+    """A fresh checkpoint lineage whose batch 0 is EMPTY over a state_dir
+    holding a dead run's v=0 must commit its own (empty) v=0 — otherwise
+    batch 1 reads the stale v=0 and a near-dup of the stale doc is wrongly
+    suppressed (the 'this lineage writes every version id' contract)."""
+    import os
+    import time
+
+    from pyspark.sql.types import (
+        StringType, StructField, StructType, TimestampType,
+    )
+
+    text0 = corpus_mod.synth_record(seed=71, doc_id="z/0")["pdf_text"]
+    src = str(tmp_path / "eb_src")
+    out_dir = str(tmp_path / "eb_out")
+    state_dir = str(tmp_path / "eb_state")
+
+    # dead run's v=0: holds text0 with a ts INSIDE batch 1's horizon — if
+    # wrongly read, it suppresses batch 1's near-dup of text0
+    stale = spark.createDataFrame(
+        [("dead/0", text0)], "id string, text string"
+    ).select(
+        "id", "text",
+        F.to_timestamp(F.lit("2032-01-01 00:00:30")).alias("ts"),
+        F.expr("cast(null as array<bigint>)").alias("sig"),
+    )
+    stale.write.parquet(os.path.join(state_dir, "v=0"))
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+            StructField("ingest_ts", TimestampType()),
+        ]
+    )
+    # batch 0: an EMPTY file (0 rows, correct schema)
+    spark.createDataFrame([], schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    # batch 1: a near-dup of the stale doc's text — must EMIT (fresh
+    # lineage has no state), not be suppressed by the dead run's v=0
+    spark.createDataFrame(
+        [("a/0", text0[12:])], "doc_id string, text string"
+    ).withColumn(
+        "ingest_ts", F.to_timestamp(F.lit("2032-01-01 00:01:00"))
+    ).repartition(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ingest.streaming_minhash_neardup(
+        stream, state_dir, out_dir,
+        watermark_seconds=300,
+        checkpoint_dir=str(tmp_path / "eb_chk"),
+    )
+    q.awaitTermination(240)
+
+    out_ids = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert out_ids == {"a/0"}
+    # the lineage committed every version id, shadowing the stale v=0
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_dir)
+        if d.startswith("v=")
+    )
+    assert versions == [0, 1]
+    final_state = spark.read.parquet(
+        os.path.join(state_dir, "v=1")
+    ).collect()
+    assert {r["id"] for r in final_state} == {"a/0"}
+
+
 def test_streaming_interval_enrich_equals_batch_interval_join(spark, tmp_path):
     """Stream-stream watermarked join == the batch interval_join pair set
     on the same bounded input (the streaming path adds state eviction, not
