@@ -330,6 +330,32 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE totals (SURVEY §2.4 breadth, completing the grouping-set
+    family next to ROLLUP): per-(day, type), per-day, per-type and grand
+    totals in one pass. Nulls coalesced to 'ALL' on both sides (mixed
+    null/str cells break order-insensitive value comparison)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    days = e.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+    )
+    return (
+        days.cube("day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per event type (SURVEY §2.4 breadth): p50/p90/p99
     of value with linear interpolation — Spark's exact `percentile`
@@ -580,6 +606,27 @@ def q_corpus_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return added.select("doc_id").orderBy("doc_id")
 
 
+def q_corpus_common(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation breadth (SURVEY §2.7, the INTERSECT leg next to
+    corpus_delta's EXCEPT): documents present in BOTH snapshots by content
+    identity — current ∩ prior via left-semi join on the md5 fingerprint.
+    The current side again carries planted re-ingestions (new ids,
+    identical text) which MUST appear (content identity, not id identity,
+    is what intersects)."""
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    reingested = base.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    cur = base.unionByName(reingested)
+    prior_fp = base.filter(F.col("doc_id") < 300).select(
+        T.doc_fingerprint_md5(F.col("text")).alias("fp")
+    )
+    common = cur.withColumn(
+        "fp", T.doc_fingerprint_md5(F.col("text"))
+    ).join(prior_fp.distinct(), "fp", "left_semi")
+    return common.select("doc_id").orderBy("doc_id")
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment by md5 hex-key
     ranges: per-split doc counts (the split is a pure function of doc_id —
@@ -600,6 +647,21 @@ def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from adaptive_pdf_extractor_spark.operators import stats
 
     return stats.top_terms(_docs(spark, sf_dir), "text", k=25, min_len=2)
+
+
+def q_approx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters without shuffling the vocabulary (the 100 TB twin of
+    top_terms): per-partition frequent-items summaries (Misra-Gries bound,
+    vectorized value_counts) -> broadcast candidate recount. Counts are
+    exact; rows-only in the gate because candidate generation is
+    partitioning-dependent in the tail — equality with the exact operator
+    whenever the k-th count clears the N/(summary+1) bound is pinned in
+    tests/test_sketch_aggregates.py."""
+    from adaptive_pdf_extractor_spark.operators import stats
+
+    return stats.approx_top_terms(
+        _docs(spark, sf_dir), "text", k=25, min_len=2
+    )
 
 
 def q_tf_idf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -835,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": q_events_interval_join,
         "events_sessions": q_events_sessions,
         "events_rollup": q_events_rollup,
+        "events_cube": q_events_cube,
         "events_percentiles": q_events_percentiles,
         "events_pivot": q_events_pivot,
         "events_sketch_stats": q_events_sketch_stats,
@@ -852,8 +915,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation_lsh": q_corpus_curation_lsh,
         "boilerplate_strip": q_boilerplate_strip,
         "corpus_delta": q_corpus_delta,
+        "corpus_common": q_corpus_common,
         "hash_split": q_hash_split,
         "top_terms": q_top_terms,
+        "approx_top_terms": q_approx_top_terms,
         "tf_idf_terms": q_tf_idf_terms,
         "media_features": q_media_features,
         "embedding_knn_join": q_embedding_knn_join,
@@ -1165,6 +1230,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """
         ),
+        "events_cube": """
+            SELECT coalesce(day, 'ALL') AS day,
+                   coalesce(event_type, 'ALL') AS event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                         event_type, value
+                  FROM events)
+            GROUP BY CUBE (day, event_type)
+        """,
         "events_rollup": """
             SELECT coalesce(hour, 'ALL') AS hour,
                    coalesce(event_type, 'ALL') AS event_type,
@@ -1256,6 +1331,23 @@ def oracle_sql() -> dict[str, str]:
             -- NOT EXISTS, not NOT IN: anti-join semantics under NULLs
             SELECT doc_id FROM cur
             WHERE NOT EXISTS (
+                SELECT 1 FROM prior p
+                WHERE p.fp = md5(lower(regexp_replace(trim(cur.text),
+                                 '[{_SQL_WS}]+', ' ', 'g')))
+            )
+            ORDER BY doc_id
+        """,
+        "corpus_common": f"""
+            WITH cur AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 500000 AS doc_id, text
+                FROM documents WHERE doc_id < 100
+            ),
+            prior AS (SELECT DISTINCT {_SQL_FINGERPRINT} AS fp
+                      FROM documents WHERE doc_id < 300)
+            SELECT doc_id FROM cur
+            WHERE EXISTS (
                 SELECT 1 FROM prior p
                 WHERE p.fp = md5(lower(regexp_replace(trim(cur.text),
                                  '[{_SQL_WS}]+', ' ', 'g')))

@@ -121,6 +121,75 @@ def tf_idf_top_terms(
     )
 
 
+def approx_top_terms(
+    df: DataFrame,
+    text_col: str,
+    k: int = 50,
+    min_len: int = 1,
+    summary_size: int = 4096,
+) -> DataFrame:
+    """Approximate heavy hitters: global top-k terms WITHOUT shuffling the
+    vocabulary — the 100 TB twin of :func:`top_terms`, whose partial
+    aggregation is shuffle-lean per row but still moves every distinct
+    term (billions, for web-scale corpora) through the exchange.
+
+    Two passes over the exploded token stream, both narrow until tiny
+    shuffles:
+
+    1. **Per-partition frequent-items summary** (Misra-Gries bound): each
+       partition emits only the terms whose LOCAL count exceeds
+       ``N_p / (summary_size+1)`` — at most ``summary_size`` terms per
+       partition, counted exactly with vectorized pandas ``value_counts``
+       (no per-row Python). Pigeonhole guarantee: any term with GLOBAL
+       count > N/(summary_size+1) exceeds the local threshold in at least
+       one partition, so it is always a candidate — independent of
+       partitioning.
+    2. **Exact recount of candidates**: the candidate set (<= partitions x
+       summary_size rows, typically far less) broadcasts; only candidate-
+       term tokens survive the hash join, so the groupBy shuffles
+       candidate partials, not the vocabulary; TakeOrderedAndProject
+       emits the top k.
+
+    Counts in the output are EXACT (the recount), and the result equals
+    :func:`top_terms` exactly whenever the k-th true count exceeds
+    N/(summary_size+1) — with the 4096 default that is count > 0.024% of
+    tokens, which every realistic top-50 satisfies (tolerance-pinned
+    against the exact operator in tests). A term below that bound may be
+    missed; that possibility is the entire cost of not shuffling the
+    vocabulary."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    toks = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+        .filter(F.length("t") >= min_len)
+        .select(ascii_fold(F.col("t")).alias("term"))
+    )
+
+    def frequent(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # exact per-partition counts via vectorized value_counts summed
+        # across the partition's Arrow batches
+        counts: pd.Series | None = None
+        for pdf in batches:
+            c = pdf["term"].value_counts()
+            counts = c if counts is None else counts.add(c, fill_value=0)
+        if counts is None or counts.empty:
+            return
+        n_p = int(counts.sum())
+        keep = counts[counts * (summary_size + 1) > n_p]
+        yield pd.DataFrame({"term": keep.index.astype(str)})
+
+    candidates = toks.mapInPandas(frequent, schema="term string").distinct()
+    return (
+        toks.join(F.broadcast(candidates), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def top_terms(
     df: DataFrame, text_col: str, k: int = 50, min_len: int = 1
 ) -> DataFrame:

@@ -92,6 +92,7 @@ def test_rows_only_queries_run(spark):
         "embedding_knn_join_ivf",
         "events_sketch_stats",
         "media_features",
+        "approx_top_terms",
     }
     for name in sorted(no_oracle):
         df = qs[name](spark, SF_DIR)

@@ -48,3 +48,49 @@ def test_sketch_stats_deterministic(spark):
         map(tuple, entry_mod.q_events_sketch_stats(spark, SF_DIR).collect())
     )
     assert a == b
+
+
+def test_approx_top_terms_equals_exact_when_bound_clears(spark):
+    """Heavy hitters (frequent-items candidates + exact recount): equals
+    the exact top_terms row-for-row on the corpus (every top-25 count
+    clears N/(summary+1) by orders of magnitude), at any partitioning."""
+    from adaptive_pdf_extractor_spark.operators import stats
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = [
+        tuple(r) for r in stats.top_terms(d, "text", k=25, min_len=2).collect()
+    ]
+    approx = [
+        tuple(r)
+        for r in stats.approx_top_terms(d, "text", k=25, min_len=2).collect()
+    ]
+    assert approx == exact
+    # partitioning independence of the guarantee (candidate sets differ,
+    # the heavy-hitter output must not)
+    repart = [
+        tuple(r)
+        for r in stats.approx_top_terms(
+            d.repartition(7), "text", k=25, min_len=2
+        ).collect()
+    ]
+    assert repart == exact
+
+
+def test_approx_top_terms_tiny_summary_keeps_heavy_hitters(spark):
+    """The Misra-Gries bound at a deliberately tiny summary: terms above
+    N/(summary+1) are guaranteed candidates even when the summary can hold
+    almost nothing; counts for everything emitted are exact."""
+    from adaptive_pdf_extractor_spark.operators import stats
+
+    rows = (
+        [("the alpha " * 30,)] * 20      # 'the'/'alpha': 600 each
+        + [(f"w{i} x{i} y{i}",) for i in range(3)]  # near-unique tail
+    )
+    d = spark.createDataFrame(rows * 5, "text string").repartition(6)
+    out = {
+        r["term"]: r["n"]
+        for r in stats.approx_top_terms(
+            d, "text", k=2, min_len=2, summary_size=2
+        ).collect()
+    }
+    assert out == {"the": 3000, "alpha": 3000}
