@@ -170,6 +170,77 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier revenue by nation): six-table join
+    exercising region + supplier (the dims no other query touches), with
+    the customer-and-supplier-same-nation predicate. Dim tables broadcast;
+    the fact-side joins shuffle on their keys — the canonical star-join
+    plan Catalyst should pick at any scale."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_events_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth (SURVEY §2.5): per-user lag/lead of the
+    event value, dense_rank over the (ts, event_id) order, and an ntile
+    quartile — the navigation + ranking family next to row_number and the
+    frame-spec running sum."""
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value", 1).over(w), 2).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 2).alias("next_value"),
+        F.dense_rank().over(w).alias("rk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def q_events_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct sketches — THE 100 TB pattern for distinct
+    counts: per-(event_type) HLL sketches built once (e.g. a daily rollup
+    table), then MERGED for the global estimate without touching raw data
+    again. Rows-only (sketch bytes are engine-specific); accuracy vs exact
+    countDistinct is tolerance-pinned in tests/test_sketch_aggregates.py."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    return per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "n_events",
+    ).unionByName(
+        per_type.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.sum("n_events").alias("n_events"),
+        ).select(F.lit("ALL").alias("event_type"), "approx_users", "n_events")
+    )
+
+
 def q_top_orders_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -889,8 +960,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1": q_tpch_q1,
+        "tpch_q5": q_tpch_q5,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_window": q_top_orders_window,
+        "events_lag_lead": q_events_lag_lead,
+        "events_hll_union": q_events_hll_union,
         "events_tumbling": q_events_tumbling,
         "events_running_sum": q_events_running_sum,
         "events_asof_join": q_events_asof_join,
@@ -1116,6 +1190,28 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q5": """
+            SELECT r_name AS region, n_name AS nation,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY r_name, n_name
+        """,
+        "events_lag_lead": """
+            SELECT event_id, user_id,
+                   round(lag(value, 1) OVER w, 2) AS prev_value,
+                   round(lead(value, 1) OVER w, 2) AS next_value,
+                   dense_rank() OVER w AS rk,
+                   ntile(4) OVER w AS quartile
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         """,
         "revenue_by_nation": """
             SELECT n_name AS nation,

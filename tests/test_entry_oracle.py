@@ -91,6 +91,7 @@ def test_rows_only_queries_run(spark):
         "corpus_curation_lsh",
         "embedding_knn_join_ivf",
         "events_sketch_stats",
+        "events_hll_union",
         "media_features",
         "approx_top_terms",
     }

@@ -94,3 +94,31 @@ def test_approx_top_terms_tiny_summary_keeps_heavy_hitters(spark):
         ).collect()
     }
     assert out == {"the": 3000, "alpha": 3000}
+
+
+def test_hll_union_matches_exact_distincts(spark):
+    """Mergeable HLL sketches (the pre-aggregated-rollup pattern): the
+    per-type estimates AND the merged-union global estimate must sit
+    within HLL tolerance of the exact distinct counts — the union must
+    dedup across sketches, not sum them."""
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in entry_mod.q_events_hll_union(spark, SF_DIR).collect()
+    }
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = {
+        r["event_type"]: r["users"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    exact["ALL"] = e.select("user_id").distinct().count()
+    assert approx.keys() == exact.keys() and len(approx) == 6
+    for etype, users in exact.items():
+        assert abs(approx[etype] - users) <= max(3, 0.15 * users), (
+            etype, approx[etype], users,
+        )
+    # the union estimate must be far below the SUM of per-type distincts
+    # (users appear in several types) — proving it merged, not added
+    per_type_sum = sum(v for k, v in exact.items() if k != "ALL")
+    assert approx["ALL"] < 0.9 * per_type_sum
