@@ -278,6 +278,15 @@ def minhash_lsh_pairs_from_sigs(
     sigs = sigs_df.select("id", "sig")
     if persist_sigs:
         sigs = sigs.persist()
+        if max_bucket_size is not None:
+            # The guarded path fans the signature subtree out to MORE
+            # consumers (three bucket-sizing branches + both prefilter
+            # sides), and INDEPENDENT stages of one job run concurrently —
+            # so an unfilled cache gets recomputed per branch (measured 4x
+            # end-to-end at 10k docs). Fill it eagerly once; the count is
+            # CacheManager-keyed by plan, so repeated invocations of the
+            # same query pay it only while cold.
+            sigs.count()
     banded = sigs.select(
         "id",
         F.explode(
