@@ -259,16 +259,29 @@ def minhash_lsh_pairs_from_sigs(
     bypass the >=2-band evidence cut (an oversized full-band collision is
     already overwhelming evidence) but still pass the signature prefilter
     and the exact-Jaccard verification, so the guard never ADDS a false
-    pair — it can only omit non-spanning-tree pairs inside oversized
-    buckets (callers consuming raw pairs per-pair, not as a graph, should
-    size the cap above their largest expected true cluster). Buckets at
-    or under the cap are bit-identical to the unguarded path.
+    pair — it can only omit non-spanning-tree pairs BETWEEN members of
+    oversized buckets (callers consuming raw pairs per-pair, not as a
+    graph, should size the cap above their largest expected true
+    cluster). Pairs whose band evidence is SPLIT between small and
+    oversized buckets are not lost: the >=min_bands cut relaxes to one
+    band for pairs with an endpoint in any oversized bucket (their other
+    collisions are invisible to the count by construction), and exact
+    verification still gates the output. With no oversized bucket the
+    guarded path's output is identical to the unguarded path's.
 
     Pass a ``pyspark.sql.Observation`` as ``observation`` for the loud
     metric: ``star_candidate_rows`` (0 when no bucket was oversized) and
     ``max_oversized_bucket`` arrive at ``observation.get`` after the
     query's first action — the production signal that a corpus is in the
-    template-flood regime."""
+    template-flood regime.
+
+    NOTE: with BOTH ``max_bucket_size`` and ``persist_sigs`` set, this
+    function EAGERLY materializes the signature cache (one count job at
+    plan-build time): the guarded plan fans the signature subtree out to
+    five consumers and Spark runs independent stages concurrently, so a
+    lazily-filled cache gets recomputed per branch (measured 4x
+    end-to-end). Callers needing a fully lazy plan should pass
+    ``persist_sigs=False`` and manage caching themselves."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
 
@@ -340,15 +353,43 @@ def minhash_lsh_pairs_from_sigs(
         small = sized.filter(F.col("_bsz") <= max_bucket_size).select(
             "id", "band", "bucket"
         )
-        small_pairs = (
+        small_counted = (
             small.alias("x")
             .join(small.alias("y"), ["band", "bucket"])
             .filter(F.col("x.id") < F.col("y.id"))
             .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
             .count()
-            .filter(F.col("count") >= min_bands)
-            .select("id_a", "id_b")
         )
+        # Evidence dilution: a true pair's band collisions inside
+        # OVERSIZED buckets are invisible to this count (those buckets
+        # emit star edges, not pairs), so a pair with one small-bucket
+        # collision plus flood-bucket co-membership would miss the
+        # >=min_bands cut that the unguarded path would have passed.
+        # Relax the cut to 1 band for pairs where EITHER endpoint sits in
+        # any oversized bucket — a superset of the unguarded candidate
+        # set restricted to small-bucket-colliding pairs, so nothing the
+        # unguarded path kept is lost; the signature prefilter + exact
+        # verify still reject every false positive, and the relaxation is
+        # empty (bit-identical path) when no bucket is oversized.
+        big_ids = (
+            sized.filter(F.col("_bsz") > max_bucket_size)
+            .select("id")
+            .distinct()
+        )
+        evidence_ok = small_counted.filter(
+            F.col("count") >= min_bands
+        ).select("id_a", "id_b")
+        sub = small_counted.filter(F.col("count") < min_bands).select(
+            "id_a", "id_b"
+        )
+        relaxed = sub.join(
+            big_ids.select(F.col("id").alias("id_a")), "id_a", "left_semi"
+        ).unionByName(
+            sub.join(
+                big_ids.select(F.col("id").alias("id_b")), "id_b", "left_semi"
+            )
+        )
+        small_pairs = evidence_ok.unionByName(relaxed)
         big = sized.filter(
             (F.col("_bsz") > max_bucket_size) & (F.col("id") != F.col("_bmin"))
         ).select(

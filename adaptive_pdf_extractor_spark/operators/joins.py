@@ -100,9 +100,12 @@ def interval_join(
             bin_seconds = max(1, math.ceil(stats["p99"]))
             # clamp UP so the longest interval stays within the
             # replication budget (the p99 choice alone lets one tail
-            # interval fan out unboundedly)
+            # interval fan out unboundedly). A bin-misaligned interval of
+            # length L spans up to ceil(L/bin)+1 bins (one partial bin at
+            # each end), hence the -1 in the divisor.
             bin_seconds = max(
-                bin_seconds, math.ceil(stats["mx"] / max_replication)
+                bin_seconds,
+                math.ceil(stats["mx"] / max(1, max_replication - 1)),
             )
     elif max_replication is not None:
         mx = iv_valid.select(
@@ -111,14 +114,17 @@ def interval_join(
         if mx is not None:
             import math
 
-            worst = math.ceil(mx / bin_seconds)
+            # bin-misaligned worst case: a length-L interval spans up to
+            # ceil(L/bin)+1 bins (one partial bin at each end)
+            worst = math.ceil(mx / bin_seconds) + 1
             if worst > max_replication:
                 raise ValueError(
                     f"interval_join: longest interval ({mx:.0f}s) replicates "
-                    f"to {worst} bins at bin_seconds={bin_seconds}, over "
-                    f"max_replication={max_replication}; raise bin_seconds "
-                    f"to >= {math.ceil(mx / max_replication)} (or pass "
-                    "bin_seconds=None for stats-driven selection)"
+                    f"to up to {worst} bins at bin_seconds={bin_seconds}, "
+                    f"over max_replication={max_replication}; raise "
+                    "bin_seconds to >= "
+                    f"{math.ceil(mx / max(1, max_replication - 1))} (or "
+                    "pass bin_seconds=None for stats-driven selection)"
                 )
     binus = int(bin_seconds) * 1_000_000
     ev = events.withColumn("_ebin", _floor_bin(micros(ts_col), binus))

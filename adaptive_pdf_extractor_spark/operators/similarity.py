@@ -37,7 +37,10 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm vector gets a NULL cosine (ranks last, never
+    # "similar") instead of an ANSI DIVIDE_BY_ZERO error — the same
+    # contract cosine_pairs_np implements with its explicit mask.
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_pairs_np():
@@ -51,7 +54,11 @@ def cosine_pairs_np():
     within float rounding — inside the round(…, 6) every consumer emits,
     pinned by the full-probe == exact test. Null / ragged vectors yield a
     null cosine (they fall out downstream exactly like a null Column
-    cosine would)."""
+    cosine would), and so do zero-norm vectors: Spark's Divide returns
+    NULL on 0/0 where numpy returns NaN — and NaN sorts FIRST under
+    F.desc, which would rank a zero vector as everyone's top neighbor
+    while the Column path ranks it last (nulls last). The explicit mask
+    keeps both paths identical."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
@@ -75,9 +82,12 @@ def cosine_pairs_np():
                 dots = (ma * mb).sum(axis=1)
                 na = np.sqrt((ma * ma).sum(axis=1))
                 nb = np.sqrt((mb * mb).sum(axis=1))
-                vals = dots / (na * nb)
+                denom = na * nb
+                ok = denom != 0.0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    vals = dots / denom
                 for j, i in enumerate(valid):
-                    res[i] = float(vals[j])
+                    res[i] = float(vals[j]) if ok[j] else None
             out.extend(res)
         return pd.Series(out, dtype="float64")
 
@@ -508,8 +518,9 @@ def knn_join(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
-    cos = _dot(F.col("cvec"), F.col("qvec")) / (
-        _norm(F.col("cvec")) * _norm(F.col("qvec"))
+    cos = F.try_divide(
+        _dot(F.col("cvec"), F.col("qvec")),
+        _norm(F.col("cvec")) * _norm(F.col("qvec")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("_cos"), F.asc("neighbor_id")
@@ -630,7 +641,9 @@ def embedding_neardup_pairs(
         joined = cand.join(xa, "id_a").join(xb, "id_b")
     else:
         joined = xa.crossJoin(xb).filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    cos = F.try_divide(
+        _dot(F.col("vec_a"), F.col("vec_b")), F.col("nrm_a") * F.col("nrm_b")
+    )
     return (
         joined.withColumn("_cos", cos)
         .filter(F.col("_cos") >= threshold)  # threshold pre-rounding (= oracle)

@@ -164,9 +164,17 @@ def read_table(
 # versioned state tables (micro-batch operator state through the catalog seam)
 # ---------------------------------------------------------------------------
 
-# Version marker column used on catalogs that keep ONE table with snapshot
-# replace (Iceberg) instead of one directory per version (parquet).
+# Version marker columns used on catalogs that keep ONE table with snapshot
+# replace (Iceberg) instead of one directory per version (parquet). Every
+# commit includes one SENTINEL row (all payload columns null,
+# _state_sentinel=true) so the committed version number is readable even
+# when the state frame itself is EMPTY — without it, an empty commit would
+# be version-indistinguishable and a history walk could resurrect a dead
+# run's older snapshot (the exact stale-state bug the empty-batch
+# contract exists to prevent). Readers drop sentinel rows and both
+# marker columns.
 STATE_VERSION_COL = "_state_version"
+STATE_SENTINEL_COL = "_state_sentinel"
 
 
 def write_state_version(
@@ -190,8 +198,20 @@ def write_state_version(
         )
     elif catalog == "iceberg":
         _require_iceberg(df.sparkSession)
+        spark = df.sparkSession
+        stamped = df.withColumn(
+            STATE_VERSION_COL, F.lit(int(version))
+        ).withColumn(STATE_SENTINEL_COL, F.lit(False))
+        sentinel = spark.range(1).select(
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in df.schema.fields
+            ],
+            F.lit(int(version)).alias(STATE_VERSION_COL),
+            F.lit(True).alias(STATE_SENTINEL_COL),
+        )
         (
-            df.withColumn(STATE_VERSION_COL, F.lit(int(version)))
+            stamped.unionByName(sentinel)
             .write.format("iceberg")
             .mode("overwrite")
             .save(state_dir)
@@ -218,11 +238,10 @@ def read_state_version_below(
       else walk the snapshot history (newest first) via time travel until
       a qualifying version appears — snapshot-replace keeps each version
       as one snapshot, so the walk is exactly the parquet directory scan
-      expressed through table metadata. Caveat (documented, jar-gated): a
-      version whose frame is EMPTY carries no row to stamp, so the walk
-      skips it toward the newest non-empty qualifying snapshot; stamping
-      the version in the snapshot's summary properties (Iceberg Java API)
-      removes that ambiguity and is the production refinement.
+      expressed through table metadata. Every commit carries a sentinel
+      row (see ``STATE_SENTINEL_COL``), so EMPTY state versions are still
+      version-stamped and a dead run's older snapshot can never shadow a
+      fresh lineage's empty commit.
     """
     if catalog == "parquet":
         import os
@@ -244,7 +263,13 @@ def read_state_version_below(
         _require_iceberg(spark)
 
         def _version_of(df: DataFrame):
+            # the sentinel row guarantees a stamp even on empty versions
             return df.select(F.max(STATE_VERSION_COL)).first()[0]
+
+        def _payload(df: DataFrame) -> DataFrame:
+            return df.filter(~F.col(STATE_SENTINEL_COL)).drop(
+                STATE_VERSION_COL, STATE_SENTINEL_COL
+            )
 
         try:
             cur = spark.read.format("iceberg").load(state_dir)
@@ -252,7 +277,7 @@ def read_state_version_below(
             return None  # table does not exist yet
         v = _version_of(cur)
         if v is not None and int(v) < below:
-            return cur.drop(STATE_VERSION_COL)
+            return _payload(cur)
         snaps = (
             spark.read.format("iceberg")
             .load(f"{state_dir}.snapshots")
@@ -268,7 +293,7 @@ def read_state_version_below(
             )
             v = _version_of(df)
             if v is not None and int(v) < below:
-                return df.drop(STATE_VERSION_COL)
+                return _payload(df)
         return None
     raise ValueError(f"unknown catalog {catalog!r}; expected one of {CATALOGS}")
 

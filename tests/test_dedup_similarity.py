@@ -550,3 +550,39 @@ def test_lsh_bucket_np_matches_column_expr(vectors):
         ).alias("np_b"),
     ).collect()
     assert rows and all(r["col_b"] == r["np_b"] for r in rows)
+
+
+def test_knn_join_ivf_zero_norm_vector_matches_exact(spark):
+    """A zero-norm corpus vector must behave identically on the numpy
+    batch-cosine path (knn_join_ivf) and the Column path (knn_join):
+    Spark's Divide yields NULL on 0/0 and nulls sort LAST under desc,
+    while raw numpy would yield NaN which sorts FIRST — the mask in
+    cosine_pairs_np pins the NULL behavior."""
+    import math
+
+    rows = [
+        (i, [math.sin(0.3 * i + 0.1 * d) for d in range(8)])
+        for i in range(20)
+    ]
+    rows.append((99, [0.0] * 8))  # zero-norm corpus vector
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vecs.filter(F.col("vec_id") < 2)
+    corpus = vecs.filter(F.col("vec_id") >= 2)
+    cents = similarity.train_ivf_centroids(corpus, "embedding", n_centroids=4)
+    ivf = sorted(
+        tuple(r)
+        for r in similarity.knn_join_ivf(
+            corpus, queries, "vec_id", "embedding",
+            k=19, centroids=cents, nprobe=4,
+        ).collect()
+    )
+    exact = sorted(
+        tuple(r)
+        for r in similarity.knn_join(
+            corpus, queries, "vec_id", "embedding", k=19
+        ).collect()
+    )
+    assert ivf == exact
+    # the zero vector ranks LAST with a null cosine on both paths
+    zero_rows = [r for r in ivf if r[1] == 99]
+    assert zero_rows and all(r[3] is None and r[2] == 19 for r in zero_rows)

@@ -93,3 +93,11 @@ def test_iceberg_versioned_state_strictly_below(spark, tmp_path):
         spark_io.read_state_version_below(spark, path, 0, catalog="iceberg")
         is None
     )
+    # EMPTY version: the sentinel row keeps it version-stamped, so an
+    # empty commit shadows older (potentially dead-run) snapshots instead
+    # of the history walk resurrecting them
+    empty = spark.createDataFrame([], "id string, n int")
+    spark_io.write_state_version(empty, path, 2, catalog="iceberg")
+    got = spark_io.read_state_version_below(spark, path, 3, catalog="iceberg")
+    assert got is not None and got.count() == 0
+    assert got.columns == ["id", "n"]

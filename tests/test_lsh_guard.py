@@ -235,3 +235,61 @@ def test_embedding_guard_bit_compatible_and_bounded(spark):
     assert got["max_oversized_bucket"] > cap
     assert 0 < got["star_candidate_rows"] <= 3 * (m - 1)
     assert {r["canonical_id"] for r in clusters} == {0}
+
+
+def test_minhash_guard_split_evidence_pair_survives(spark):
+    """A true pair whose band collisions are SPLIT between an oversized
+    bucket and a single small bucket must still be emitted: the oversized
+    collision is invisible to the >=2-band count (those buckets emit star
+    edges), so the cut relaxes to 1 band for pairs with an endpoint in
+    any oversized bucket. Crafted signatures pin the scenario exactly;
+    exact verification still gates the output on real text."""
+    m, cap = 300, 256
+    S = [i * 1000 + 7 for i in range(128)]  # the flood's signature
+    rows = []
+    # flood: identical signatures, mutually near-identical template texts
+    for i in range(m):
+        rows.append((1000 + i, BASE + f" flood u{i:04d}", list(S)))
+    # a=1, b=2: texts near-identical to EACH OTHER, unrelated to the
+    # flood; signatures share band 3 with the flood (slots 12..15) and a
+    # private band 9 (slots 36..39), agree in 3 of 4 slots elsewhere (98
+    # equal slots total -> passes the signature prefilter at j>=0.8)
+    U = ("completely different subject matter about ships and harbors "
+         "where the tide rises and the gulls wheel over the quay while "
+         "fishermen mend their nets beside weathered boats and the "
+         "lighthouse keeper climbs the spiral stair to trim the lamp "
+         "before night settles on the cold grey water of the bay")
+    siga, sigb = [], []
+    for slot in range(128):
+        band = slot // 4
+        if band == 3:
+            siga.append(S[slot]); sigb.append(S[slot])
+        elif band == 9:
+            siga.append(5_000_000 + slot); sigb.append(5_000_000 + slot)
+        elif slot % 4 == 0:  # one differing slot per remaining band
+            siga.append(6_000_000 + slot); sigb.append(7_000_000 + slot)
+        else:
+            siga.append(8_000_000 + slot); sigb.append(8_000_000 + slot)
+    rows.append((1, U, siga))
+    rows.append((2, U[10:], sigb))
+    sigs_df = spark.createDataFrame(
+        [(i, s) for i, _, s in rows], "id long, sig array<bigint>"
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs_from_sigs(
+            sigs_df, docs, "id", "text",
+            threshold=0.8, max_bucket_size=cap,
+        ).collect()
+    }
+    # the split-evidence pair survives the guard
+    assert (1, 2) in pairs
+    # star edges to the flood's bucket-min were candidates but exact
+    # verification rejected the cross-topic ones
+    assert not any({a, b} & {1, 2} and {a, b} & set(range(1000, 1000 + m))
+                   for a, b in pairs)
+    # the flood itself stays connected through verified star edges
+    assert sum(1 for a, b in pairs if a >= 1000 and b >= 1000) >= m - 1
