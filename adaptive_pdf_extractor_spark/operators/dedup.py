@@ -376,20 +376,23 @@ def minhash_lsh_pairs_from_sigs(
             .select("id")
             .distinct()
         )
-        evidence_ok = small_counted.filter(
-            F.col("count") >= min_bands
-        ).select("id_a", "id_b")
-        sub = small_counted.filter(F.col("count") < min_bands).select(
-            "id_a", "id_b"
-        )
-        relaxed = sub.join(
-            big_ids.select(F.col("id").alias("id_a")), "id_a", "left_semi"
-        ).unionByName(
-            sub.join(
-                big_ids.select(F.col("id").alias("id_b")), "id_b", "left_semi"
+        # ONE pass over small_counted (it holds the expensive self-join +
+        # groupBy — consuming it per-branch re-executed that subtree and
+        # measured 2x on the curation bench): two left joins attach
+        # endpoint-in-oversized-bucket flags, one filter applies the
+        # possibly-relaxed cut.
+        bia = big_ids.select(F.col("id").alias("id_a"), F.lit(True).alias("_ba"))
+        bib = big_ids.select(F.col("id").alias("id_b"), F.lit(True).alias("_bb"))
+        small_pairs = (
+            small_counted.join(bia, "id_a", "left")
+            .join(bib, "id_b", "left")
+            .filter(
+                (F.col("count") >= min_bands)
+                | F.col("_ba").isNotNull()
+                | F.col("_bb").isNotNull()
             )
+            .select("id_a", "id_b")
         )
-        small_pairs = evidence_ok.unionByName(relaxed)
         big = sized.filter(
             (F.col("_bsz") > max_bucket_size) & (F.col("id") != F.col("_bmin"))
         ).select(
