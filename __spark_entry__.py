@@ -937,6 +937,16 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-oracled SimHash: the engine-portable md5 variant computed per
+    planted-dup doc, with EVERY 64-bit signature value DuckDB-verified
+    (the oracle rebuilds each bit from the md5 hex nibbles — generated
+    SQL, one source of truth for positions/weights). The xxhash64 simhash
+    stays the production path (q_simhash_neardup, rows-only)."""
+    d = _planted_dups(spark, sf_dir)
+    return d.select("doc_id", dedup.simhash64_md5(F.col("text")).alias("sig"))
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (rows-only: approximate by design;
     verified against brute force in tests/)."""
@@ -1004,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_extract": q_regex_extract,
         "adaptive_extract": q_adaptive_extract,
         "simhash_neardup": q_simhash_neardup,
+        "simhash_md5": q_simhash_md5,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
@@ -1146,6 +1157,37 @@ SELECT doc_id, canonical_id,
 FROM comp
 """
 )
+
+
+def _sql_simhash_md5(src: str) -> str:
+    """Generated 64-bit SimHash oracle: per token, bit k of the uint64
+    parse of md5's first 16 hex chars lives in 1-based hex char 16 - k//4
+    at nibble bit k%4; the signature sets bit k iff the tokens' +-1 sum is
+    positive (2*ones > n). Bit 63's weight is the two's-complement BIGINT
+    minimum — the same representation Spark's signed long carries."""
+    bit_sums = ",\n                   ".join(
+        "sum(((strpos('0123456789abcdef', substr(hx, "
+        f"{16 - k // 4}, 1)) - 1) >> {k % 4}) & 1) AS b{k}"
+        for k in range(64)
+    )
+    sig = " + ".join(
+        f"CASE WHEN 2 * b{k} > n THEN "
+        + ("(-9223372036854775807 - 1)" if k == 63 else str(1 << k))
+        + " ELSE 0 END"
+        for k in range(64)
+    )
+    return f"""
+        WITH src AS ({src}),
+        toks AS (SELECT doc_id, unnest(regexp_extract_all(
+                     trim(text), '[^{_SQL_WS}]+')) AS t FROM src),
+        h AS (SELECT doc_id, substring(md5(t), 1, 16) AS hx FROM toks),
+        bits AS (SELECT doc_id, count(*) AS n,
+                   {bit_sums}
+                 FROM h GROUP BY doc_id),
+        sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM bits)
+        SELECT s.doc_id, coalesce(g.sig, 0) AS sig
+        FROM src s LEFT JOIN sigs g ON g.doc_id = s.doc_id
+    """
 
 
 # Exact batch k-NN as SQL — the oracle for BOTH embedding_knn_join and the
@@ -1408,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup": _SQL_JACCARD_PAIRS.format(
             src=f"({planted})", threshold=0.8
         ),
+        "simhash_md5": _sql_simhash_md5(planted),
         "ngram_jaccard": _SQL_JACCARD_PAIRS.format(
             src="(SELECT doc_id, text FROM documents WHERE doc_id < 100)",
             threshold=0.25,

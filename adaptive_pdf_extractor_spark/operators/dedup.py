@@ -497,6 +497,49 @@ def simhash64_np():
     return pandas_udf("bigint")(sim)
 
 
+def simhash64_md5_np():
+    """numpy fold for the engine-portable simhash variant: 16-char md5-hex
+    token hashes in (bits 63..60 in the first hex char — ``int(hx, 16)``
+    order), signed 64-bit signature out via the same sign-sum as
+    :func:`simhash64_np`. Hex parses to uint64 per token (the
+    winnowing_md5 pattern: numpy can't reduce string dtypes)."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.left_shift(np.uint64(1), shifts)
+
+    def sim(hexes):
+        out = []
+        for hs in hexes:
+            if hs is None or len(hs) == 0:
+                out.append(0)
+                continue
+            h = np.array([int(x, 16) for x in hs], dtype=np.uint64)
+            n = len(h)
+            bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
+            contrib = 2 * bits.sum(axis=0, dtype=np.int64) - n
+            sigu = int(weights[contrib > 0].sum(dtype=np.uint64))
+            out.append(sigu - (1 << 64) if sigu >= (1 << 63) else sigu)
+        return pd.Series(out)
+
+    sim.__annotations__ = {"hexes": pd.Series, "return": pd.Series}
+    return pandas_udf("bigint")(sim)
+
+
+def simhash64_md5(text_col: Column) -> Column:
+    """Engine-portable SimHash: token hash = first 16 hex chars of
+    md5(token) parsed as uint64, so a DuckDB oracle reproduces EVERY
+    signature bit-for-bit (the simhash analog of
+    functions.text.winnowing_fingerprints_md5; :func:`simhash64` with
+    xxhash64 stays the production fast path). JVM md5 per token; one
+    numpy parse + sign-sum per document."""
+    hexes = F.transform(
+        tokens(text_col), lambda t: F.substring(F.md5(t), 1, 16)
+    )
+    return simhash64_md5_np()(hexes)
+
+
 def simhash64(text_col: Column) -> Column:
     """64-bit SimHash over whitespace tokens: bit k of the signature = sign
     of sum over tokens of bit k (+-1) of the token's xxhash64. JVM hashes

@@ -586,3 +586,25 @@ def test_knn_join_ivf_zero_norm_vector_matches_exact(spark):
     # the zero vector ranks LAST with a null cosine on both paths
     zero_rows = [r for r in ivf if r[1] == 99]
     assert zero_rows and all(r[3] is None and r[2] == 19 for r in zero_rows)
+
+
+def test_simhash_md5_hamming_tracks_similarity(corpus):
+    """The engine-portable md5 simhash (every signature value is
+    DuckDB-verified in the driver gate) must still behave like a simhash:
+    planted near-dups land within a small hamming distance, unrelated
+    docs far apart."""
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in corpus.select(
+            "doc_id", dedup.simhash64_md5(F.col("text")).alias("sig")
+        ).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for i in range(5):
+        assert ham(sigs[i], sigs[100 + i]) == 0          # exact dups
+        assert ham(sigs[10 + i], sigs[200 + i]) <= 12    # near-dups
+    far = [ham(sigs[i], sigs[j]) for i in range(5) for j in range(30, 35)]
+    assert min(far) > 12
