@@ -264,9 +264,10 @@ def minhash_lsh_pairs_from_sigs(
     graph, should size the cap above their largest expected true
     cluster). Pairs whose band evidence is SPLIT between small and
     oversized buckets are not lost: the >=min_bands cut relaxes to one
-    band for pairs with an endpoint in any oversized bucket (their other
-    collisions are invisible to the count by construction), and exact
-    verification still gates the output. With no oversized bucket the
+    band for pairs with BOTH endpoints in oversized buckets (co-occupying
+    one is what makes collisions invisible to the count, and it implies
+    both ids are flood members), and exact verification still gates the
+    output. With no oversized bucket the
     guarded path's output is identical to the unguarded path's.
 
     Pass a ``pyspark.sql.Observation`` as ``observation`` for the loud
@@ -380,7 +381,11 @@ def minhash_lsh_pairs_from_sigs(
         # groupBy — consuming it per-branch re-executed that subtree and
         # measured 2x on the curation bench): two left joins attach
         # endpoint-in-oversized-bucket flags, one filter applies the
-        # possibly-relaxed cut.
+        # possibly-relaxed cut. BOTH flags must be set: a hidden collision
+        # means the pair CO-OCCUPIED an oversized bucket, which puts both
+        # endpoints in big_ids — requiring only one would keep every
+        # 1-band noise pair that merely touches a flood member, exactly
+        # the volume the min_bands cut exists to drop.
         bia = big_ids.select(F.col("id").alias("id_a"), F.lit(True).alias("_ba"))
         bib = big_ids.select(F.col("id").alias("id_b"), F.lit(True).alias("_bb"))
         small_pairs = (
@@ -388,8 +393,7 @@ def minhash_lsh_pairs_from_sigs(
             .join(bib, "id_b", "left")
             .filter(
                 (F.col("count") >= min_bands)
-                | F.col("_ba").isNotNull()
-                | F.col("_bb").isNotNull()
+                | (F.col("_ba").isNotNull() & F.col("_bb").isNotNull())
             )
             .select("id_a", "id_b")
         )
@@ -460,14 +464,14 @@ def minhash_lsh_pairs_from_sigs(
 # ---------------------------------------------------------------------------
 
 
-def simhash64_np():
-    """Arrow-batched SimHash: per-token JVM xxhash64 values in (one
-    interpreted ``transform`` pass, same as the minhash path), 64-bit
-    signature out via one numpy unpack/sign-sum per document. Replaces the
-    Column-algebra formulation below, whose 64 interpreted ``F.aggregate``
-    folds cost ~64 x n_tokens lambda evals per row (the interpreted-lambda
-    anti-pattern already fixed for minhash — see minhash_signatures_np).
-    Output is bit-identical to :func:`simhash64_columns` (pinned by test)."""
+def _simhash_fold_udf(decode):
+    """Shared Arrow-batched sign-sum fold for both simhash variants:
+    ``decode(np, tokens) -> uint64 ndarray`` supplies the per-token hash
+    values (JVM xxhash64 longs or md5-hex parses); the bit unpack, +-1
+    contribution sum, and signed 64-bit wrap are ONE implementation so the
+    production and oracled paths can never silently diverge. Null / empty
+    token arrays fold to signature 0 (the Column spec's when(null > 0)
+    otherwise-branch behavior — pinned by test)."""
     import numpy as np
     from pyspark.sql.pandas.functions import pandas_udf
 
@@ -477,16 +481,11 @@ def simhash64_np():
     def sim(hashes):
         out = []
         for hs in hashes:
-            if hs is None:
-                # Column version folds a null token array to signature 0
-                # (when(null > 0) takes the otherwise branch); match it.
+            if hs is None or len(hs) == 0:
                 out.append(0)
                 continue
-            n = len(hs)
-            if n == 0:
-                out.append(0)
-                continue
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            h = decode(np, hs)
+            n = len(h)
             bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
             contrib = 2 * bits.sum(axis=0, dtype=np.int64) - n
             sigu = int(weights[contrib > 0].sum(dtype=np.uint64))
@@ -497,34 +496,30 @@ def simhash64_np():
     return pandas_udf("bigint")(sim)
 
 
+def simhash64_np():
+    """Arrow-batched SimHash: per-token JVM xxhash64 values in (one
+    interpreted ``transform`` pass, same as the minhash path), 64-bit
+    signature out via one numpy unpack/sign-sum per document
+    (:func:`_simhash_fold_udf`). Replaces the Column-algebra formulation
+    below, whose 64 interpreted ``F.aggregate`` folds cost ~64 x n_tokens
+    lambda evals per row (the interpreted-lambda anti-pattern already
+    fixed for minhash — see minhash_signatures_np). Output is
+    bit-identical to :func:`simhash64_columns` (pinned by test)."""
+    return _simhash_fold_udf(
+        lambda np, hs: np.asarray(hs, dtype=np.int64).astype(np.uint64)
+    )
+
+
 def simhash64_md5_np():
     """numpy fold for the engine-portable simhash variant: 16-char md5-hex
     token hashes in (bits 63..60 in the first hex char — ``int(hx, 16)``
-    order), signed 64-bit signature out via the same sign-sum as
-    :func:`simhash64_np`. Hex parses to uint64 per token (the
-    winnowing_md5 pattern: numpy can't reduce string dtypes)."""
-    import numpy as np
-    from pyspark.sql.pandas.functions import pandas_udf
-
-    shifts = np.arange(64, dtype=np.uint64)
-    weights = np.left_shift(np.uint64(1), shifts)
-
-    def sim(hexes):
-        out = []
-        for hs in hexes:
-            if hs is None or len(hs) == 0:
-                out.append(0)
-                continue
-            h = np.array([int(x, 16) for x in hs], dtype=np.uint64)
-            n = len(h)
-            bits = (h[:, None] >> shifts[None, :]) & np.uint64(1)
-            contrib = 2 * bits.sum(axis=0, dtype=np.int64) - n
-            sigu = int(weights[contrib > 0].sum(dtype=np.uint64))
-            out.append(sigu - (1 << 64) if sigu >= (1 << 63) else sigu)
-        return pd.Series(out)
-
-    sim.__annotations__ = {"hexes": pd.Series, "return": pd.Series}
-    return pandas_udf("bigint")(sim)
+    order), signed 64-bit signature out via the SAME sign-sum fold as
+    :func:`simhash64_np` (:func:`_simhash_fold_udf`). Hex parses to uint64
+    per token (the winnowing_md5 pattern: numpy can't reduce string
+    dtypes)."""
+    return _simhash_fold_udf(
+        lambda np, hs: np.array([int(x, 16) for x in hs], dtype=np.uint64)
+    )
 
 
 def simhash64_md5(text_col: Column) -> Column:

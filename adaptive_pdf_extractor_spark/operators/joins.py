@@ -83,6 +83,14 @@ def interval_join(
     # unix_micros (session TZ is pinned UTC in session.py, so the NTZ ->
     # instant mapping is deterministic); it is a no-op for TIMESTAMP.
     micros = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    if max_replication is not None and max_replication < 2:
+        # no finite bin bounds a bin-misaligned interval to ONE bin (it
+        # always may straddle a boundary) — reject instead of silently
+        # exceeding the budget or giving un-followable advice
+        raise ValueError(
+            f"max_replication must be >= 2 (got {max_replication}): a "
+            "misaligned interval of any length can span 2 bins"
+        )
     iv_valid = intervals.filter(F.col(end_col) > F.col(start_col))
     if bin_seconds is None:
         if max_replication is None:

@@ -267,9 +267,16 @@ def read_state_version_below(
             return df.select(F.max(STATE_VERSION_COL)).first()[0]
 
         def _payload(df: DataFrame) -> DataFrame:
-            return df.filter(~F.col(STATE_SENTINEL_COL)).drop(
-                STATE_VERSION_COL, STATE_SENTINEL_COL
-            )
+            # pre-sentinel snapshots (tables written before the sentinel
+            # existed; Iceberg time travel reads each snapshot under its
+            # own schema) have no sentinel column — drop-what-exists keeps
+            # them readable instead of failing resume with an unresolved
+            # column
+            if STATE_SENTINEL_COL in df.columns:
+                df = df.filter(~F.col(STATE_SENTINEL_COL)).drop(
+                    STATE_SENTINEL_COL
+                )
+            return df.drop(STATE_VERSION_COL)
 
         try:
             cur = spark.read.format("iceberg").load(state_dir)

@@ -300,6 +300,13 @@ def test_interval_join_auto_bin_and_replication_guard(spark):
             events, intervals, "k", "ts", "s", "e",
             bin_seconds=1, max_replication=1000,
         )
+    # max_replication=1 is unsatisfiable (a misaligned interval of any
+    # length can straddle a bin boundary) — rejected up front
+    with pytest.raises(ValueError, match=">= 2"):
+        interval_join(
+            events, intervals, "k", "ts", "s", "e",
+            bin_seconds=None, max_replication=1,
+        )
 
 
 def test_asof_join_preserves_left_shape(spark):

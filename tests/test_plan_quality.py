@@ -238,10 +238,19 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     left = e.select("event_id", "user_id", "value")
     right = e.groupBy("user_id").agg(F.count("*").alias("n_events"))
     # managed tables land in the session's default warehouse (the
-    # warehouse dir is a static conf); DROP TABLE below removes the data
+    # warehouse dir is a static conf); DROP TABLE removes the data, and
+    # the rmtree makes the test self-healing after a killed prior run
+    # left an orphan directory the fresh catalog knows nothing about
+    # (saveAsTable refuses a non-empty location)
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh = wh.removeprefix("file:")
     name_l, name_r = "bq_left_tbl", "bq_right_tbl"
     for name, df in ((name_l, left), (name_r, right)):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
         df.write.bucketBy(8, "user_id").sortBy("user_id").saveAsTable(name)
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
