@@ -192,6 +192,44 @@ def streaming_interval_enrich(
     return e.join(iv, cond, "inner").drop("_ikey", "_its")
 
 
+def streaming_session_metrics(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization: watermarked ``session_window`` aggregation
+    per key — the streaming twin of the batch session query
+    (``__spark_entry__.q_events_sessions``). Sessions merge as events
+    arrive (the state store holds open sessions per key) and FINALIZE in
+    append mode once the watermark passes their close — late events inside
+    the watermark still extend or merge sessions; state for closed
+    sessions is evicted, so the store is bounded by open sessions x keys,
+    not stream length. Same output shape as the batch query: (key,
+    session_start, session_end, n_events, sum_value)."""
+    agg = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+    )
+    return agg.select(
+        key_col,
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def streaming_minhash_neardup(
     docs: DataFrame,
     state_dir: str,

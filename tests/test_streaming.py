@@ -486,3 +486,94 @@ def test_streaming_dedup_keeps_caller_event_time(spark, tmp_path):
     rows = spark.sql("SELECT * FROM stream_ts").collect()
     assert len(rows) == 20
     assert all(str(r["ingest_ts"]).startswith("2020-01-01") for r in rows)
+
+
+def test_streaming_sessions_equal_batch(spark, tmp_path):
+    """Watermarked streaming session windows == the batch session
+    aggregation on the same bounded input: sessions merge across
+    micro-batches (events for one session split over two files) and
+    finalize in append mode once the watermark passes. Sentinel files
+    advance the watermark so every real session flushes."""
+    import time
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    def ev(eid, user, minute, value):
+        return (
+            eid, user,
+            datetime(2033, 1, 1) + timedelta(minutes=minute),
+            float(value),
+        )
+
+    # user A: one session split across files (gap < 30 min at the seam);
+    # user B: two separate sessions
+    f1 = [ev(1, "a", 0, 1.0), ev(2, "a", 10, 2.0), ev(3, "b", 5, 5.0)]
+    f2 = [ev(4, "a", 35, 3.0), ev(5, "b", 120, 7.0)]
+    sentinels = [
+        [ev(100, "zz", 60 * 30, 0.0)],   # +30h: watermark passes day 1
+        [ev(101, "zz", 60 * 60, 0.0)],   # +60h: flushes the first sentinel's merges
+    ]
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("user_id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ])
+    src = str(tmp_path / "sess_src")
+    for rows in [f1, f2] + sentinels:
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = ingest.streaming_session_metrics(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]),
+         r["n_events"], r["sum_value"])
+        for r in spark.sql(
+            "SELECT * FROM stream_sessions WHERE user_id <> 'zz'"
+        ).collect()
+    }
+    batch = spark.read.parquet(src).filter(F.col("user_id") != "zz")
+    exp = {
+        (r["user_id"], str(r["session_start"]),
+         str(r["session_end"]), r["n_events"], r["sum_value"])
+        for r in batch.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    }
+    assert got == exp and len(exp) == 3
+    # the cross-file session merged: user a's three events (two in file 1,
+    # one in file 2, 25-min gap at the seam) form ONE session
+    a_sessions = [g for g in got if g[0] == "a"]
+    assert len(a_sessions) == 1 and a_sessions[0][3] == 3
