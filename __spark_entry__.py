@@ -937,6 +937,18 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (fuzzy) text join over planted mutations: q-gram
+    count + length filters generate candidates, exact levenshtein
+    verifies (operators/dedup.fuzzy_text_pairs). The planted copies drop
+    the first ten chars, so every (original, mutation) pair sits at
+    distance 10 <= 16 while unrelated docs are edit-far. Oracle: the
+    quadratic cross join + DuckDB levenshtein — the same
+    candidate-free definition."""
+    d = _planted_dups(spark, sf_dir, n=30)
+    return dedup.fuzzy_text_pairs(d, "doc_id", "text", max_distance=16, q=5)
+
+
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully-oracled SimHash: the engine-portable md5 variant computed per
     planted-dup doc, with EVERY 64-bit signature value DuckDB-verified
@@ -1015,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_extract": q_adaptive_extract,
         "simhash_neardup": q_simhash_neardup,
         "simhash_md5": q_simhash_md5,
+        "fuzzy_match": q_fuzzy_match,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
@@ -1451,6 +1464,18 @@ def oracle_sql() -> dict[str, str]:
             src=f"({planted})", threshold=0.8
         ),
         "simhash_md5": _sql_simhash_md5(planted),
+        "fuzzy_match": """
+            WITH src AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 30
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, substr(text, 11) AS text
+                FROM documents WHERE doc_id < 30
+            )
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   levenshtein(lower(x.text), lower(y.text)) AS distance
+            FROM src x JOIN src y ON x.doc_id < y.doc_id
+            WHERE levenshtein(lower(x.text), lower(y.text)) <= 16
+        """,
         "ngram_jaccard": _SQL_JACCARD_PAIRS.format(
             src="(SELECT doc_id, text FROM documents WHERE doc_id < 100)",
             threshold=0.25,

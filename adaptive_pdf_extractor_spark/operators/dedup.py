@@ -869,6 +869,112 @@ def neardup_clusters_minlabel(
 
 
 # ---------------------------------------------------------------------------
+# edit-distance (fuzzy) text join
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_text_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_distance: int = 16,
+    q: int = 5,
+) -> DataFrame:
+    """All pairs with Levenshtein distance <= ``max_distance`` — the
+    approximate STRING join (record linkage, OCR-noise dedup, title
+    matching), a different similarity axis from Jaccard (ORDER matters:
+    transposed halves are jaccard-identical but edit-far).
+
+    Candidate generation is the classic q-gram count filter (Gravano et
+    al., VLDB'01 — public algorithm): ``ed(a,b) <= d`` implies the q-gram
+    MULTISETS share at least ``max(|a|,|b|) - q + 1 - d*q`` grams, and
+    ``||a|-|b|| <= d``. Stages: per-doc q-gram counts (narrow) ->
+    inverted-index equi-join on the gram -> per-pair multiset-intersection
+    size ``sum(least(cnt_a, cnt_b))`` -> count + length filters -> exact
+    ``levenshtein`` verification on the few survivors. Pairs where BOTH
+    strings are shorter than ``q*(d+1)`` fall below the filter's guarantee
+    (the bound goes nonpositive) and take a small all-pairs short-bucket
+    instead — bounded by the short-doc population, and each verification
+    there is on short strings.
+
+    Scale notes: the inverted-index join shares the LSH stages' shape
+    (bare ids + counts ride the shuffle; text joins back only for
+    verification). Ubiquitous grams make hot buckets — the standard
+    refinements are positional q-grams and prefix filtering (sort grams
+    by global frequency, index only each doc's rarest ``d*q + 1``); at
+    the gate scale the plain count filter is exact and sufficient.
+    Levenshtein on the survivors is quadratic per PAIR in string length —
+    bound ``max_distance`` accordingly (Spark's levenshtein(l, r, bound)
+    threshold form short-circuits)."""
+    d = int(max_distance)
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.lower(F.col(text_col)).alias("t"),
+    ).withColumn("len", F.length("t"))
+    short_cut = q * (d + 1)
+    # q-gram occurrence counts per doc (multiset — the bound needs counts,
+    # not the distinct-set shingles the jaccard family uses)
+    grams = (
+        base.filter(F.col("len") >= 1)
+        .select(
+            "id",
+            "len",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(t) - {q - 1}, 1)),"
+                    f" i -> substring(t, i, {q}))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("id", "len", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ga = grams.select(
+        F.col("id").alias("id_a"), F.col("len").alias("la"),
+        "g", F.col("cnt").alias("ca"),
+    )
+    gb = grams.select(
+        F.col("id").alias("id_b"), F.col("len").alias("lb"),
+        "g", F.col("cnt").alias("cb"),
+    )
+    shared = (
+        ga.join(gb, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("la") - F.col("lb") <= d) & (F.col("lb") - F.col("la") <= d))
+        .groupBy("id_a", "id_b", "la", "lb")
+        .agg(F.sum(F.least("ca", "cb")).alias("shared"))
+    )
+    bound = F.greatest("la", "lb") - (q - 1) - d * q
+    cand_qgram = shared.filter(
+        (F.col("shared") >= F.greatest(bound, F.lit(1)))
+        # below the guarantee line both strings are short -> short bucket
+        & (F.greatest("la", "lb") >= short_cut)
+    ).select("id_a", "id_b")
+    shorts = base.filter(F.col("len") < short_cut)
+    cand_short = (
+        shorts.select(F.col("id").alias("id_a"), F.col("len").alias("la"))
+        .crossJoin(
+            shorts.select(F.col("id").alias("id_b"), F.col("len").alias("lb"))
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("la") - F.col("lb") <= d) & (F.col("lb") - F.col("la") <= d))
+        .select("id_a", "id_b")
+    )
+    cand = cand_qgram.unionByName(cand_short).distinct()
+    ta = base.select(F.col("id").alias("id_a"), F.col("t").alias("ta"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("t").alias("tb"))
+    dist = F.levenshtein("ta", "tb", d)
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("distance", dist)
+        .filter((F.col("distance") >= 0) & (F.col("distance") <= d))
+        .select("id_a", "id_b", "distance")
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard brute force (the exact oracle)
 # ---------------------------------------------------------------------------
 

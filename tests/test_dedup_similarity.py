@@ -608,3 +608,59 @@ def test_simhash_md5_hamming_tracks_similarity(corpus):
         assert ham(sigs[10 + i], sigs[200 + i]) <= 12    # near-dups
     far = [ham(sigs[i], sigs[j]) for i in range(5) for j in range(30, 35)]
     assert min(far) > 12
+
+
+def test_fuzzy_text_pairs_matches_bruteforce(spark):
+    """q-gram + length candidate filters must lose NOTHING: output equals
+    the quadratic levenshtein definition, including short strings (below
+    the count-filter guarantee -> short bucket) and pairs straddling the
+    short/long boundary."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, ("the quick brown fox jumps over the lazy dog " * 4)[7:]),
+        (3, "a completely different long string about harbors and ships "
+            "and tides and gulls wheeling over the quay at dusk " * 2),
+        (10, "short a"),          # short bucket
+        (11, "short b"),          # distance 1 from short a
+        (12, "shrt a"),           # distance 1 from short a
+        (13, ""),                 # empty: distance = |other|
+        (14, "tiny"),
+        # order sensitivity: same tokens, transposed halves —
+        # jaccard-identical, edit-FAR (must NOT pair at d=16)
+        (20, "alpha beta gamma delta " * 8 + "one two three four " * 8),
+        (21, "one two three four " * 8 + "alpha beta gamma delta " * 8),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["distance"])
+        for r in dedup.fuzzy_text_pairs(
+            df, "doc_id", "text", max_distance=16, q=5
+        ).collect()
+    }
+
+    def lev(a, b):
+        # iterative DP (strings are a few hundred chars)
+        prev = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            cur = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[-1]
+
+    texts = {i: t.lower() for i, t in rows}
+    exp = {
+        (a, b, lev(texts[a], texts[b]))
+        for a in texts
+        for b in texts
+        if a < b and lev(texts[a], texts[b]) <= 16
+    }
+    assert got == exp
+    found = {(a, b) for a, b, _ in got}
+    assert (1, 2) in found and (10, 11) in found and (10, 12) in found
+    assert (13, 14) in found  # empty vs 4-char: distance 4
+    assert (20, 21) not in found  # transposition is edit-far
