@@ -366,12 +366,13 @@ def minhash_lsh_pairs_from_sigs(
         # emit star edges, not pairs), so a pair with one small-bucket
         # collision plus flood-bucket co-membership would miss the
         # >=min_bands cut that the unguarded path would have passed.
-        # Relax the cut to 1 band for pairs where EITHER endpoint sits in
-        # any oversized bucket — a superset of the unguarded candidate
-        # set restricted to small-bucket-colliding pairs, so nothing the
-        # unguarded path kept is lost; the signature prefilter + exact
-        # verify still reject every false positive, and the relaxation is
-        # empty (bit-identical path) when no bucket is oversized.
+        # Relax the cut to 1 band for co-flood pairs — BOTH endpoints in
+        # some oversized bucket: a hidden collision means the pair
+        # CO-OCCUPIED an oversized bucket, which puts both ids in
+        # big_ids, so every pair whose evidence the guard could have
+        # diluted is covered; the signature prefilter + exact verify
+        # still reject every false positive, and the relaxation is empty
+        # (bit-identical path) when no bucket is oversized.
         big_ids = (
             sized.filter(F.col("_bsz") > max_bucket_size)
             .select("id")

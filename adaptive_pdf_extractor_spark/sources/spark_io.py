@@ -234,14 +234,16 @@ def read_state_version_below(
     streaming.ingest.streaming_minhash_neardup).
 
     * ``parquet``: newest ``v=<n>`` directory with n < below.
-    * ``iceberg``: the current snapshot if its stamped version qualifies,
-      else walk the snapshot history (newest first) via time travel until
-      a qualifying version appears — snapshot-replace keeps each version
-      as one snapshot, so the walk is exactly the parquet directory scan
-      expressed through table metadata. Every commit carries a sentinel
-      row (see ``STATE_SENTINEL_COL``), so EMPTY state versions are still
-      version-stamped and a dead run's older snapshot can never shadow a
-      fresh lineage's empty commit.
+    * ``iceberg``: walk the snapshot history newest-first via time travel
+      until a stamped version qualifies — snapshot-replace keeps each
+      version as one snapshot, so the walk is exactly the parquet
+      directory scan expressed through table metadata. EVERY read is
+      pinned to an explicit snapshot-id (including the current snapshot,
+      which is just the newest history entry), so the returned frame is
+      immune to a subsequent snapshot-replace of the same table. Every
+      commit carries a sentinel row (see ``STATE_SENTINEL_COL``), so
+      EMPTY state versions are still version-stamped and a dead run's
+      older snapshot can never shadow a fresh lineage's empty commit.
     """
     if catalog == "parquet":
         import os
@@ -278,20 +280,22 @@ def read_state_version_below(
                 )
             return df.drop(STATE_VERSION_COL)
 
+        # ONE pinned newest-first walk (the current snapshot is simply the
+        # newest row of the .snapshots metadata table): every read carries
+        # an explicit snapshot-id, so the returned DataFrame can never be
+        # re-planned against a LATER commit — the self-overwrite safety
+        # the streaming loop's same-table snapshot-replace relies on is
+        # true by construction on every path, not just the history walk.
         try:
-            cur = spark.read.format("iceberg").load(state_dir)
+            snaps = (
+                spark.read.format("iceberg")
+                .load(f"{state_dir}.snapshots")
+                .select("snapshot_id", "committed_at")
+                .orderBy(F.desc("committed_at"))
+                .collect()
+            )
         except Exception:
             return None  # table does not exist yet
-        v = _version_of(cur)
-        if v is not None and int(v) < below:
-            return _payload(cur)
-        snaps = (
-            spark.read.format("iceberg")
-            .load(f"{state_dir}.snapshots")
-            .select("snapshot_id", "committed_at")
-            .orderBy(F.desc("committed_at"))
-            .collect()
-        )
         for s in snaps:
             df = (
                 spark.read.option("snapshot-id", s["snapshot_id"])

@@ -500,6 +500,34 @@ def test_embedding_neardup_lsh_null_and_ragged_vectors(spark):
     assert len(lsh & {(i, 1000 + i) for i in range(5)}) >= 4
 
 
+def test_cosine_pairs_np_mixed_dimensions_one_batch(spark):
+    """One Arrow batch containing valid pairs of DIFFERENT vector
+    dimensions (e.g. one malformed shorter embedding row alongside normal
+    rows) must score every internally-consistent pair and null only the
+    per-pair-ragged one — the length-grouped stacking; a naive np.array
+    over all valid rows raises on the inhomogeneous shape and kills the
+    whole job."""
+    rows = [
+        # dim-4 pair, dim-3 pair, per-pair ragged, and a null — one batch
+        (1, [1.0, 0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 2.0, 2.0], [1.0, 2.0, 2.0]),
+        (3, [1.0, 0.0], [1.0, 0.0, 0.0]),
+        (4, None, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    ).coalesce(1)
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", similarity.cosine_pairs_np()(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    }
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(1.0)
+    assert got[3] is None and got[4] is None
+
+
 def test_simhash_rotation_recall(corpus):
     """Rotated re-bucketing is pure OR-amplification: every single-prefix
     pair survives, new pairs may appear, and everything returned is exact
