@@ -965,6 +965,27 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", dedup.simhash64_md5(F.col("text")).alias("sig"))
 
 
+def q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully-oracled MinHash SIGNATURES: the engine-portable md5 variant
+    (uint64 parse of md5's first 16 hex chars per shingle, SAME
+    multiply-shift permutation bank and mod-2^64 wraparound as the
+    xxhash64 production path), exploded to (doc_id, slot, sig) rows so
+    DuckDB verifies EVERY signature value — completing the md5 trilogy
+    next to simhash_md5 and winnowing_sketch_md5: the signature math the
+    curation pipeline rides is itself under the driver's hash gate.
+    xxhash64 stays the production path (q_minhash_neardup's pair oracle);
+    the two variants' band/pair behavior is pinned equal in
+    tests/test_dedup_similarity.py."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    sigs = dedup.minhash_signatures_md5_df(
+        d, "doc_id", "text", shingle_n=5, num_hashes=128
+    )
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        F.posexplode("sig").alias("slot", "sig"),
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (rows-only: approximate by design;
     verified against brute force in tests/)."""
@@ -982,6 +1003,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return similarity.ivf_topk(
         e, "vec_id", "embedding", qvec, k=10, n_centroids=16, nprobe=4
+    )
+
+
+def q_ann_ivf_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-probe IVF top-k (nprobe == n_centroids): every bucket is
+    probed, so the IVF single-query path (centroid training, distributed
+    bucket assignment, probe selection, bucket filter, top-k) must equal
+    brute_force_topk row-for-row — the embedding_knn_join_ivf_full move,
+    one query wide: this reuses embedding_topk's DuckDB oracle verbatim
+    and puts the ANN machinery itself under the driver's hash gate. The
+    pruned nprobe<n variant stays rows-only by design (approximate); its
+    recall is pinned in tests."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return similarity.ivf_topk(
+        e, "vec_id", "embedding", qvec, k=10, n_centroids=16, nprobe=16
     )
 
 
@@ -1033,9 +1070,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_extract": q_adaptive_extract,
         "simhash_neardup": q_simhash_neardup,
         "simhash_md5": q_simhash_md5,
+        "minhash_md5": q_minhash_md5,
         "fuzzy_match": q_fuzzy_match,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_topk_full": q_ann_ivf_topk_full,
     }
 
 
@@ -1178,6 +1217,49 @@ FROM comp
 )
 
 
+def _sql_minhash_md5(src: str, num_hashes: int = 128) -> str:
+    """Generated md5-minhash signature oracle: per distinct 5-shingle of
+    the lowercased text, h = uint64 parse of md5's first 16 hex chars;
+    slot i of the signature = min over shingles of (a_i*h + b_i) mod 2^64
+    with the SAME (a, b) bank as the Spark side (one source of truth:
+    dedup._perm_params). HUGEINT carries the arithmetic; the multiply
+    splits h into 32-bit halves so no intermediate exceeds ~2^97
+    (a*h alone would overflow int128). The signed BIGINT cast at the end
+    is the two's-complement view Spark's long carries."""
+    from adaptive_pdf_extractor_spark.operators.dedup import _perm_params
+
+    a, b = _perm_params(num_hashes)
+    params = ",\n                ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)"
+        for i in range(num_hashes)
+    )
+    m64 = "18446744073709551616::HUGEINT"  # 2^64
+    return f"""
+        WITH base AS (SELECT doc_id, lower(text) AS t FROM {src}),
+        idx AS (SELECT doc_id, t, unnest(generate_series(
+                    1, greatest(length(t) - 4, 1))) AS i FROM base),
+        sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s
+               FROM idx),
+        hv AS (SELECT doc_id,
+                      ('0x' || substring(md5(s), 1, 16))::UBIGINT::HUGEINT
+                          AS h
+               FROM sh),
+        params(slot, pa, pb) AS (VALUES
+                {params}),
+        sigs AS (
+            SELECT doc_id, slot,
+                   min((pa * (h % 4294967296)
+                        + ((pa * (h // 4294967296)) % 4294967296)
+                          * 4294967296
+                        + pb) % {m64}) AS sigu
+            FROM hv CROSS JOIN params GROUP BY doc_id, slot)
+        SELECT doc_id, slot,
+               CAST(CASE WHEN sigu >= 9223372036854775808::HUGEINT
+                         THEN sigu - {m64} ELSE sigu END AS BIGINT) AS sig
+        FROM sigs
+    """
+
+
 def _sql_simhash_md5(src: str) -> str:
     """Generated 64-bit SimHash oracle: per token, bit k of the uint64
     parse of md5's first 16 hex chars lives in 1-based hex char 16 - k//4
@@ -1207,6 +1289,21 @@ def _sql_simhash_md5(src: str) -> str:
         SELECT s.doc_id, coalesce(g.sig, 0) AS sig
         FROM src s LEFT JOIN sigs g ON g.doc_id = s.doc_id
     """
+
+
+# Exact single-query top-k as SQL — the oracle for BOTH embedding_topk and
+# the full-probe IVF twin (nprobe == n_centroids prunes nothing, so the
+# IVF path must reproduce brute force row-for-row).
+_SQL_EMBEDDING_TOPK = """
+    SELECT vec_id AS id,
+           round(list_cosine_similarity(
+               embedding::DOUBLE[],
+               (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]
+           ), 6) AS cosine
+    FROM embeddings
+    ORDER BY cosine DESC, id ASC
+    LIMIT 10
+"""
 
 
 # Exact batch k-NN as SQL — the oracle for BOTH embedding_knn_join and the
@@ -1470,6 +1567,9 @@ def oracle_sql() -> dict[str, str]:
             src=f"({planted})", threshold=0.8
         ),
         "simhash_md5": _sql_simhash_md5(planted),
+        "minhash_md5": _sql_minhash_md5(
+            "(SELECT doc_id, text FROM documents WHERE doc_id < 40)"
+        ),
         "fuzzy_match": """
             WITH src AS (
                 SELECT doc_id, text FROM documents WHERE doc_id < 30
@@ -1666,16 +1766,11 @@ FROM kept k JOIN canon ON k.doc_id = canon.doc_id
         # corpus vector lives in one bucket; nprobe == n_centroids probes
         # all of them) — same oracle, so the IVF path gets its own hash gate
         "embedding_knn_join_ivf_full": _SQL_KNN_JOIN,
-        "embedding_topk": """
-            SELECT vec_id AS id,
-                   round(list_cosine_similarity(
-                       embedding::DOUBLE[],
-                       (SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]
-                   ), 6) AS cosine
-            FROM embeddings
-            ORDER BY cosine DESC, id ASC
-            LIMIT 10
-        """,
+        "embedding_topk": _SQL_EMBEDDING_TOPK,
+        # full-probe IVF top-k must equal exact brute force (all 16
+        # buckets probed -> nothing pruned) — same oracle, so the IVF
+        # single-query path gets its own hash gate
+        "ann_ivf_topk_full": _SQL_EMBEDDING_TOPK,
         "embedding_neardup": """
             SELECT x.vec_id AS id_a, y.vec_id AS id_b,
                    round(list_cosine_similarity(

@@ -177,6 +177,65 @@ def minhash_signatures_df(
     )
 
 
+def minhash_signatures_md5_np(num_hashes: int = 128):
+    """numpy fold for the engine-portable md5 minhash: arrays of 16-char
+    md5-hex shingle hashes in, signature array out via the SAME
+    multiply-shift permutation bank (:func:`_perm_params`, odd ``a``,
+    natural uint64 wraparound) as :func:`minhash_signatures_np` — only the
+    per-shingle hash differs (md5-hex parse instead of JVM xxhash64).
+    Each hex string parses to uint64 (the winnowing_md5 pattern: numpy
+    can't reduce string dtypes)."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    a, b = _perm_params(num_hashes)
+
+    def sig(hashes):
+        out = []
+        with np.errstate(over="ignore"):
+            for hs in hashes:
+                if hs is None or len(hs) == 0:
+                    out.append(None)
+                    continue
+                h = np.array([int(x, 16) for x in hs], dtype=np.uint64)
+                vals = a[:, None] * h[None, :] + b[:, None]  # mod 2^64
+                out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    sig.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
+    return pandas_udf("array<bigint>")(sig)
+
+
+def minhash_signatures_md5_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 5,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """Engine-portable (id, sig) minhash signature table: per-shingle hash
+    = uint64 parse of the first 16 hex chars of md5(shingle), fed through
+    the SAME multiply-shift bank as the xxhash64 production path
+    (:func:`minhash_signatures_df`) — so a DuckDB oracle reproduces EVERY
+    signature value bit-for-bit (the minhash analog of
+    ``simhash64_md5`` / ``winnowing_fingerprints_md5``, completing the
+    md5 trilogy: the curation pipeline's core hash math itself sits under
+    the driver's hash gate). xxhash64 stays the production fast path;
+    band/pair behavior of the two variants on the same corpus is pinned
+    equal in tests."""
+    base = _shingled(df, id_col, text_col, shingle_n)
+    sig_udf = minhash_signatures_md5_np(num_hashes)
+    return base.select(
+        "id",
+        sig_udf(
+            F.transform(
+                "shingles", lambda s: F.substring(F.md5(s), 1, 16)
+            )
+        ).alias("sig"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

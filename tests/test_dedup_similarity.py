@@ -60,6 +60,38 @@ def test_minhash_recall_equals_bruteforce(corpus):
     assert {(10 + i, 200 + i) for i in range(5)} <= {(a, b) for a, b, _ in lsh}
 
 
+def test_minhash_md5_pairs_match_xxhash_pairs(corpus):
+    """The md5 signature variant (the fully-oracled form, q_minhash_md5)
+    must drive the SAME banded LSH machinery to the SAME verified pairs
+    as the xxhash64 production path on the planted corpus — the two
+    variants differ only in the per-shingle hash, and exact-Jaccard
+    verification gates both, so any divergence is a real bug in the
+    signature math (recall at 128/32 is ~1-5e-8 for both)."""
+    kw = dict(shingle_n=5, num_hashes=128, bands=32, threshold=0.8)
+    xx = dedup.minhash_signatures_df(corpus, "doc_id", "text", **kw_sig(kw))
+    md = dedup.minhash_signatures_md5_df(corpus, "doc_id", "text", **kw_sig(kw))
+    pairs_xx = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs_from_sigs(
+            xx, corpus, "doc_id", "text", **kw
+        ).collect()
+    }
+    pairs_md = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs_from_sigs(
+            md, corpus, "doc_id", "text", **kw
+        ).collect()
+    }
+    assert pairs_xx == pairs_md
+    assert {(i, 100 + i) for i in range(5)} <= {
+        (a, b) for a, b, _ in pairs_md
+    }
+
+
+def kw_sig(kw):
+    return {k: kw[k] for k in ("shingle_n", "num_hashes")}
+
+
 def test_simhash_finds_planted_dups(corpus):
     pairs = {
         (r["id_a"], r["id_b"])
