@@ -780,15 +780,37 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_clean")
 
 
-def curation_pipeline(docs: DataFrame, pair_fn) -> DataFrame:
+def curation_pipeline(
+    docs: DataFrame,
+    pair_fn,
+    decontaminate_against: DataFrame | None = None,
+    decon_n: int = 13,
+) -> DataFrame:
     """The end-to-end training-data curation composition: quality gate ->
-    exact dedup (min-id keeper per fingerprint) -> near-dup pair stage
-    (``pair_fn``: kept-docs frame -> (id_a, id_b, ...) pairs) -> connected
-    components -> keep cluster canonicals -> per-doc token stats. ONE
-    composition, two registered pair stages: the exact quadratic generator
-    (the DuckDB oracle) and minhash-LSH (the 100 TB path)."""
+    [optional benchmark decontamination] -> exact dedup (min-id keeper
+    per fingerprint) -> near-dup pair stage (``pair_fn``: kept-docs frame
+    -> (id_a, id_b, ...) pairs) -> connected components -> keep cluster
+    canonicals -> per-doc token stats. ONE composition, two registered
+    pair stages: the exact quadratic generator (the DuckDB oracle) and
+    minhash-LSH (the 100 TB path).
+
+    ``decontaminate_against``: an eval-set frame (``text`` column) —
+    quality-passing docs sharing ``decon_n``-token n-grams with it are
+    dropped before dedup (broadcast membership, anti-join on flagged
+    ids; see dedup.decontaminate for the plan shape)."""
     scored = docs.withColumn("quality", T.quality_score(F.col("text")))
     kept = scored.filter(F.col("quality") >= 0.5)
+    if decontaminate_against is not None:
+        flagged = dedup.decontaminate(
+            kept, decontaminate_against, "doc_id", "text", n=decon_n
+        )
+        kept = kept.join(
+            flagged.filter(F.col("contaminated")).select(
+                F.col("id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
     # Cache: kept feeds THREE consumers (the pair stage, the cluster id
     # set, and the final stats join) — without this the quality-score
     # regex bank and the dedup agg re-run per consumer (measured 2.6x on
@@ -965,6 +987,44 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", dedup.simhash64_md5(F.col("text")).alias("sig"))
 
 
+DECON_CLEAN_TEXT = " ".join(f"zzqx{i}" for i in range(20))
+
+
+def _decon_eval_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-document eval set for the decontamination gate:
+    a VERBATIM copy of doc 3, a PARTIAL overlap (tokens 4..33 of doc 7 —
+    inside every sf's token counts), and a CLEAN synthetic doc whose
+    grams appear nowhere in the corpus."""
+    d = _docs(spark, sf_dir)
+    ev0 = d.filter(F.col("doc_id") == 3).select(
+        F.lit(0).alias("eval_id"), F.col("text")
+    )
+    ev1 = d.filter(F.col("doc_id") == 7).select(
+        F.lit(1).alias("eval_id"),
+        F.array_join(F.slice(T.tokens(F.col("text")), 4, 30), " ").alias(
+            "text"
+        ),
+    )
+    ev2 = spark.range(1).select(
+        F.lit(2).alias("eval_id"), F.lit(DECON_CLEAN_TEXT).alias("text")
+    )
+    return ev0.unionByName(ev1).unionByName(ev2)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the operator a curation user runs right
+    after dedup): flag train docs sharing 13-token n-grams with an eval
+    set. The eval set plants a verbatim copy of doc 3, a partial slice of
+    doc 7, and a clean doc, so the gate checks hit, partial-hit and
+    no-hit paths; docs under 13 tokens exercise the zero-gram path.
+    Fully oracled — gram keys are md5-hex-16 on both engines."""
+    d = _docs(spark, sf_dir)
+    out = dedup.decontaminate(
+        d, _decon_eval_set(spark, sf_dir), "doc_id", "text", n=13, min_hits=1
+    )
+    return out.withColumnRenamed("id", "doc_id")
+
+
 def q_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fully-oracled MinHash SIGNATURES: the engine-portable md5 variant
     (uint64 parse of md5's first 16 hex chars per shingle, SAME
@@ -1071,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "simhash_md5": q_simhash_md5,
         "minhash_md5": q_minhash_md5,
+        "decontaminate": q_decontaminate,
         "fuzzy_match": q_fuzzy_match,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1215,6 +1276,59 @@ SELECT doc_id, canonical_id,
 FROM comp
 """
 )
+
+
+def _sql_decontaminate(n: int = 13) -> str:
+    """Generated decontamination oracle: token n-grams of the lowercased
+    text keyed by md5-hex-16 on both engines; eval set = verbatim doc 3 +
+    tokens 4..33 of doc 7 + the clean literal (same constants as the
+    Spark side — one source of truth)."""
+    lower = (
+        "translate({c}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+        " 'abcdefghijklmnopqrstuvwxyz')"
+    )
+
+    def toks(c: str) -> str:
+        return (
+            f"regexp_extract_all(trim({lower.format(c=c)}), '[^{_SQL_WS}]+')"
+        )
+
+    def grams(src: str, keep_id: bool) -> str:
+        idc = "doc_id, " if keep_id else ""
+        return f"""
+            SELECT DISTINCT {idc}substring(md5(array_to_string(
+                       list_slice(toks, i, i + {n - 1}), ' ')), 1, 16) AS g
+            FROM (SELECT {idc}toks,
+                         unnest(generate_series(
+                             1, greatest(len(toks) - {n - 1}, 0))) AS i
+                  FROM {src})
+        """
+
+    raw_toks7 = f"regexp_extract_all(trim(text), '[^{_SQL_WS}]+')"
+    return f"""
+        WITH tr AS (SELECT doc_id, {toks('text')} AS toks FROM documents),
+        trg AS ({grams('tr', True)}),
+        ev AS (
+            SELECT text FROM documents WHERE doc_id = 3
+            UNION ALL
+            SELECT array_to_string(list_slice({raw_toks7}, 4, 33), ' ')
+            FROM documents WHERE doc_id = 7
+            UNION ALL
+            SELECT '{DECON_CLEAN_TEXT}'
+        ),
+        evt AS (SELECT {toks('text')} AS toks FROM ev),
+        evg AS ({grams('evt', False)}),
+        stats AS (
+            SELECT doc_id, count(DISTINCT g) AS n_grams,
+                   count(DISTINCT CASE WHEN g IN (SELECT g FROM evg)
+                                       THEN g END) AS n_hit
+            FROM trg GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(s.n_grams, 0) AS n_grams,
+               coalesce(s.n_hit, 0) AS n_hit,
+               coalesce(s.n_hit, 0) >= 1 AS contaminated
+        FROM documents d LEFT JOIN stats s USING (doc_id)
+    """
 
 
 def _sql_minhash_md5(src: str, num_hashes: int = 128) -> str:
@@ -1570,6 +1684,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_md5": _sql_minhash_md5(
             "(SELECT doc_id, text FROM documents WHERE doc_id < 40)"
         ),
+        "decontaminate": _sql_decontaminate(),
         "fuzzy_match": """
             WITH src AS (
                 SELECT doc_id, text FROM documents WHERE doc_id < 30

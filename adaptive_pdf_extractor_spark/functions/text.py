@@ -144,6 +144,27 @@ def char_ngrams(col: Column, n: int = 5) -> Column:
     return F.array_distinct(grams)
 
 
+def token_ngram_keys(col: Column, n: int = 13, width: int = 16) -> Column:
+    """Distinct ``n``-token n-gram keys of the lowercased text: each gram
+    is ``n`` consecutive whitespace tokens joined by one space, keyed by
+    the first ``width`` hex chars of its md5 (compact AND engine-portable
+    — a DuckDB oracle reproduces every key, the hash_split/winnowing_md5
+    trick). Texts with fewer than ``n`` tokens yield an empty array.
+    The benchmark-decontamination primitive: 13-gram membership is the
+    standard train-vs-eval overlap test (GPT-3 appendix C lineage)."""
+    toks = tokens(F.lower(col))
+    n_grams = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.substring(
+            F.md5(F.array_join(F.slice(toks, i, n), " ")), 1, width
+        ),
+    )
+    return F.when(n_grams >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def doc_fingerprint(col: Column) -> Column:
     """Deterministic 64-bit document fingerprint: xxhash64 of the
     whitespace-normalized, lowercased text. The canonical exact-dedup key

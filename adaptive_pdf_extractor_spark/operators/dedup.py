@@ -520,6 +520,75 @@ def minhash_lsh_pairs_from_sigs(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    eval_text_col: str | None = None,
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing token
+    ``n``-grams with an evaluation set (the standard 13-gram membership
+    test — a real curation pipeline runs this right after dedup).
+
+    Returns one row per train document: ``(id, n_grams, n_hit,
+    contaminated)`` — distinct n-gram count, how many of those grams
+    appear anywhere in the eval set, and the ``n_hit >= min_hits`` flag.
+
+    Plan shape (the 100 TB path): the EVAL side is the small side by
+    construction (an eval suite, not a corpus) — its distinct gram keys
+    broadcast; the train side streams once through a narrow gram
+    projection + explode, the broadcast hash join marks matches, and the
+    single shuffle is the per-doc groupBy carrying (id, n_grams, 0/1).
+    No text ever shuffles, and the corpus is never joined to itself.
+    Gram keys are md5-hex-16 (engine-portable — the DuckDB oracle
+    reproduces every key; at extreme eval sizes a Bloom filter over the
+    same keys would trade the exact broadcast set for a documented FPR,
+    but exact membership is the right default at eval-suite scale)."""
+    from ..functions.text import token_ngram_keys
+
+    eval_text = eval_text_col or text_col
+    eval_keys = (
+        eval_df.select(
+            F.explode(token_ngram_keys(F.col(eval_text), n)).alias("gram")
+        )
+        .distinct()
+        .withColumn("_m", F.lit(True))
+    )
+    grams = _spread(train).select(
+        F.col(id_col).alias("id"),
+        token_ngram_keys(F.col(text_col), n).alias("grams"),
+    )
+    # explode_outer keeps zero-gram (short) docs in the output with
+    # n_grams = n_hit = 0; null grams can't match the broadcast side
+    exploded = grams.select(
+        "id", F.size("grams").alias("n_grams"), F.explode_outer("grams").alias("gram")
+    )
+    return (
+        exploded.join(F.broadcast(eval_keys), "gram", "left")
+        .groupBy("id", "n_grams")
+        .agg(
+            F.sum(F.when(F.col("_m"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit")
+        )
+        .select(
+            "id",
+            F.greatest("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            "n_hit",
+            (F.col("n_hit") >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -452,6 +452,79 @@ def test_neardup_clusters_star_matches_minlabel_spec(spark):
     assert star == minlabel
 
 
+def test_decontaminate_planted(spark):
+    """Planted contamination tiers: a train doc copied VERBATIM into the
+    eval set is fully hit (n_hit == n_grams), a train doc sharing only a
+    13-token window is partially hit (0 < n_hit < n_grams), a clean doc
+    and a sub-13-token doc are untouched (the short one through the
+    zero-gram explode_outer path)."""
+    w = [f"w{i}" for i in range(40)]
+    v = [f"v{i}" for i in range(40)]
+    train = spark.createDataFrame(
+        [
+            (0, " ".join(w[:30])),                     # verbatim in eval
+            (1, " ".join(v[:13] + ["x1", "x2", "x3"])),  # partial overlap
+            (2, " ".join(f"c{i}" for i in range(25))),   # clean
+            (3, "tiny doc of five tokens"),              # < 13 tokens
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [
+            (0, " ".join(w[:30])),                     # verbatim copy
+            (1, " ".join(["e1", "e2"] + v[:13])),      # carries v window
+            (2, " ".join(f"z{i}" for i in range(20))),  # noise
+        ],
+        "eval_id long, text string",
+    )
+    got = {
+        r["id"]: r
+        for r in dedup.decontaminate(
+            train, evals, "doc_id", "text", n=13
+        ).collect()
+    }
+    assert got[0]["contaminated"] and got[0]["n_hit"] == got[0]["n_grams"] == 18
+    assert got[1]["contaminated"] and 0 < got[1]["n_hit"] < got[1]["n_grams"]
+    assert got[1]["n_hit"] == 1  # exactly the planted v window
+    assert not got[2]["contaminated"] and got[2]["n_hit"] == 0
+    assert got[3]["n_grams"] == 0 and got[3]["n_hit"] == 0
+    assert not got[3]["contaminated"]
+
+
+def test_curation_pipeline_decontaminate_flag(spark):
+    """curation_pipeline(decontaminate_against=...) drops exactly the
+    contaminated doc: baseline keep-set minus a singleton-cluster doc
+    whose text the eval set carries."""
+    import __spark_entry__ as entry_mod
+
+    # originals only (no planted mutations) -> singleton clusters exist
+    docs = entry_mod._docs(spark, "/root/testdata/sf0.001").filter(
+        F.col("doc_id") < 30
+    ).select("doc_id", "text")
+
+    def pair_fn(kept):
+        return dedup.ngram_jaccard_pairs(
+            kept, "doc_id", "text", shingle_n=5, threshold=0.8
+        )
+
+    base = {r["doc_id"]: r for r in entry_mod.curation_pipeline(docs, pair_fn).collect()}
+    # a singleton-cluster survivor with >= 13 tokens: dropping it cannot
+    # promote a near-dup partner into the keep set
+    k = min(
+        d
+        for d, r in base.items()
+        if r["cluster_size"] == 1 and r["n_tokens"] >= 13
+    )
+    evals = docs.filter(F.col("doc_id") == k).select("text")
+    got = {
+        r["doc_id"]
+        for r in entry_mod.curation_pipeline(
+            docs, pair_fn, decontaminate_against=evals
+        ).collect()
+    }
+    assert got == set(base) - {k}
+
+
 def test_curation_lsh_matches_exact_composition(spark):
     """The LSH-backed curation pipeline (minhash pair stage) is
     row-identical to the exact quadratic composition on the oracled

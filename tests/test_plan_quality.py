@@ -40,6 +40,16 @@ def test_revenue_join_broadcasts_dimension(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval gram set must be the broadcast side (an eval suite is
+    small by construction; the train corpus must never shuffle its
+    grams), and the per-doc tally must partial-aggregate map-side."""
+    plan = _executed(entry_mod.q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # no shuffle join anywhere
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_exact_dedup_partial_aggregation(spark):
     plan = _executed(entry_mod.q_exact_dedup(spark, SF))
     # partial (map-side) + final hash aggregate
