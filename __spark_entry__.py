@@ -780,62 +780,12 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_clean")
 
 
-def curation_pipeline(
-    docs: DataFrame,
-    pair_fn,
-    decontaminate_against: DataFrame | None = None,
-    decon_n: int = 13,
-) -> DataFrame:
-    """The end-to-end training-data curation composition: quality gate ->
-    [optional benchmark decontamination] -> exact dedup (min-id keeper
-    per fingerprint) -> near-dup pair stage (``pair_fn``: kept-docs frame
-    -> (id_a, id_b, ...) pairs) -> connected components -> keep cluster
-    canonicals -> per-doc token stats. ONE composition, two registered
-    pair stages: the exact quadratic generator (the DuckDB oracle) and
-    minhash-LSH (the 100 TB path).
-
-    ``decontaminate_against``: an eval-set frame (``text`` column) —
-    quality-passing docs sharing ``decon_n``-token n-grams with it are
-    dropped before dedup (broadcast membership, anti-join on flagged
-    ids; see dedup.decontaminate for the plan shape)."""
-    scored = docs.withColumn("quality", T.quality_score(F.col("text")))
-    kept = scored.filter(F.col("quality") >= 0.5)
-    if decontaminate_against is not None:
-        flagged = dedup.decontaminate(
-            kept, decontaminate_against, "doc_id", "text", n=decon_n
-        )
-        kept = kept.join(
-            flagged.filter(F.col("contaminated")).select(
-                F.col("id").alias("doc_id")
-            ),
-            "doc_id",
-            "left_anti",
-        )
-    # Cache: kept feeds THREE consumers (the pair stage, the cluster id
-    # set, and the final stats join) — without this the quality-score
-    # regex bank and the dedup agg re-run per consumer (measured 2.6x on
-    # the LSH variant at 10k docs). persist, NOT localCheckpoint: Spark's
-    # CacheManager keys cache entries by canonical logical plan, so
-    # repeated invocations of the same query (a) don't accumulate copies
-    # (re-persisting an already-cached plan is a no-op hit on the existing
-    # entry) and (b) REUSE the materialized gate across reruns — measured
-    # 2x vs an eager localCheckpoint, which re-executes per invocation.
-    # Entry count is bounded by distinct source frames, session-scoped.
-    # At true corpus scale this is a table write (same role).
-    kept = dedup.exact_dedup_keep(kept, "doc_id", "text").persist()
-    pairs = pair_fn(kept)
-    clusters = dedup.neardup_clusters(
-        kept.select(F.col("doc_id").alias("id")), pairs
-    )
-    canon = clusters.filter(
-        F.col("doc_id") == F.col("canonical_id")
-    ).select("doc_id", "cluster_size")
-    return kept.join(canon, "doc_id").select(
-        "doc_id",
-        "cluster_size",
-        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        "quality",
-    )
+# The curation composition lives in the package (plans/curation.py) next
+# to its manifest-committing run wrapper; re-exported here because the
+# registered queries and tests compose it with different pair stages.
+from adaptive_pdf_extractor_spark.plans.curation import (  # noqa: E402
+    curation_pipeline,
+)
 
 
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -876,6 +826,60 @@ def q_corpus_curation_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_bucket_size=256,
         ).select("id_a", "id_b"),
     )
+
+
+def _exact_pair_fn(kept: DataFrame) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        kept, "doc_id", "text", shingle_n=5, threshold=0.8
+    )
+
+
+def _incremental_batches(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(old_kept, new_batch) for the incremental gate: old = curated
+    docs < 60; new = fresh docs 60..79 + near-dup mutations of docs 0..19
+    (+100000, first ten chars dropped) + verbatim re-ingestions of docs
+    20..29 (+200000) — so the gate exercises keep, near-dup-drop and
+    exact-drop paths. Every new id sorts after every old id (the
+    precondition curate_increment documents)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    old_raw = d.filter(F.col("doc_id") < 60)
+    old_kept = old_raw.join(
+        curation_pipeline(old_raw, _exact_pair_fn).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    new = (
+        d.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 80))
+        .unionByName(
+            d.filter(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.expr("substring(text, 11)").alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30)).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return old_kept, new
+
+
+def q_incremental_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch curation (the daily 100 TB form): curate a NEW
+    batch against the existing curated corpus — only new docs hash;
+    pairs = new x new ∪ new x old (plans.curation.curate_increment).
+    Fully oracled: the DuckDB twin curates the old corpus, unions the
+    new batch, re-curates from scratch and keeps the new ids — the
+    incremental path must reproduce full re-curation row-for-row.
+    bench.py times it against a PRECOMPUTED old signature table to show
+    cost scaling with the delta."""
+    from adaptive_pdf_extractor_spark.plans.curation import curate_increment
+
+    old_kept, new = _incremental_batches(spark, sf_dir)
+    return curate_increment(new, old_kept, threshold=0.8)
 
 
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1112,6 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": q_neardup_clusters,
         "corpus_curation": q_corpus_curation,
         "corpus_curation_lsh": q_corpus_curation_lsh,
+        "incremental_curation": q_incremental_curation,
         "boilerplate_strip": q_boilerplate_strip,
         "corpus_delta": q_corpus_delta,
         "corpus_common": q_corpus_common,
@@ -1276,6 +1281,85 @@ SELECT doc_id, canonical_id,
 FROM comp
 """
 )
+
+
+def _sql_curation_ctes(p: str, src: str, threshold: float = 0.8) -> str:
+    """CTE chain (every name prefixed with ``p`` so the chain can appear
+    TWICE in one statement) computing the curation keep-set of ``src``:
+    quality gate -> exact dedup -> 5-shingle Jaccard pairs -> recursive
+    transitive closure -> cluster canonicals. Terminal CTE ``{p}out``
+    carries (doc_id, cluster_size, text, quality) — the same construction
+    as the corpus_curation oracle, factored for reuse by the incremental
+    twin."""
+    return f"""
+{p}scored AS (SELECT doc_id, text, {_sql_quality()} AS quality FROM ({src})),
+{p}qgate AS (SELECT * FROM {p}scored WHERE quality >= 0.5),
+{p}fpg AS (SELECT {_SQL_FINGERPRINT} AS fp, min(doc_id) AS keep
+           FROM {p}qgate GROUP BY 1),
+{p}kept AS (SELECT q.* FROM {p}qgate q JOIN {p}fpg ON q.doc_id = {p}fpg.keep),
+{p}base AS (SELECT doc_id, lower(text) AS t FROM {p}kept),
+{p}idx AS (SELECT doc_id, t, unnest(generate_series(
+               1, greatest(length(t) - 4, 1))) AS i FROM {p}base),
+{p}sh AS (SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS s
+          FROM {p}idx),
+{p}sizes AS (SELECT doc_id, count(*) AS n FROM {p}sh GROUP BY doc_id),
+{p}shared AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS c
+              FROM {p}sh x JOIN {p}sh y USING (s) WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+{p}pairs AS (SELECT id_a, id_b FROM {p}shared
+             JOIN {p}sizes sa ON sa.doc_id = id_a
+             JOIN {p}sizes sb ON sb.doc_id = id_b
+             WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}),
+{p}e AS (SELECT id_a AS src, id_b AS dst FROM {p}pairs
+         UNION ALL SELECT id_b AS src, id_a AS dst FROM {p}pairs),
+{p}reach(id, lab) AS (
+    SELECT doc_id, doc_id FROM {p}kept
+    UNION
+    SELECT {p}e.dst AS id, {p}reach.lab
+    FROM {p}reach JOIN {p}e ON {p}e.src = {p}reach.id),
+{p}comp AS (SELECT id AS doc_id, min(lab) AS canonical_id
+            FROM {p}reach GROUP BY id),
+{p}sized AS (SELECT doc_id, canonical_id,
+                    count(*) OVER (PARTITION BY canonical_id)
+                        AS cluster_size
+             FROM {p}comp),
+{p}out AS (SELECT k.doc_id, s.cluster_size, k.text, k.quality
+           FROM {p}kept k
+           JOIN {p}sized s ON k.doc_id = s.doc_id
+                          AND s.doc_id = s.canonical_id)
+"""
+
+
+def _sql_incremental_curation() -> str:
+    """Incremental-curation oracle BY RE-CURATION: curate the old corpus
+    (docs < 60), union the new batch (fresh 60..79 + mutations of 0..19
+    + re-ingestions of 20..29 — same constants as the Spark side), curate
+    the union FROM SCRATCH, keep the new ids. The incremental operator
+    must reproduce this exactly (see curate_increment's id-order
+    argument: no mixed cluster's canonical is ever a new doc, so
+    kept-new and new-only cluster sizes agree with the full graph)."""
+    old_src = "SELECT doc_id, text FROM documents WHERE doc_id < 60"
+    new_src = """SELECT doc_id, text FROM documents
+                 WHERE doc_id >= 60 AND doc_id < 80
+                 UNION ALL
+                 SELECT doc_id + 100000 AS doc_id, substr(text, 11) AS text
+                 FROM documents WHERE doc_id < 20
+                 UNION ALL
+                 SELECT doc_id + 200000 AS doc_id, text
+                 FROM documents WHERE doc_id >= 20 AND doc_id < 30"""
+    union_src = f"SELECT doc_id, text FROM o_out UNION ALL {new_src}"
+    return (
+        "WITH RECURSIVE "
+        + _sql_curation_ctes("o_", f"({old_src})")
+        + ","
+        + _sql_curation_ctes("f_", f"({union_src})")
+        + f"""
+SELECT doc_id, cluster_size,
+       CAST({_sql_token_count('text')} AS BIGINT) AS n_tokens,
+       quality
+FROM f_out WHERE doc_id >= 60
+"""
+    )
 
 
 def _sql_decontaminate(n: int = 13) -> str:
@@ -1876,6 +1960,7 @@ SELECT k.doc_id, canon.cluster_size,
 FROM kept k JOIN canon ON k.doc_id = canon.doc_id
 """
         ),
+        "incremental_curation": _sql_incremental_curation(),
         "embedding_knn_join": _SQL_KNN_JOIN,
         # the full-probe IVF join must equal the exact join EXACTLY (each
         # corpus vector lives in one bucket; nprobe == n_centroids probes

@@ -281,6 +281,123 @@ def minhash_lsh_pairs(
     )
 
 
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band, bucket) banding of a signature table: bucket = xxhash64
+    of the band's signature slots — ONE formulation shared by the full and
+    incremental pair stages so their buckets can never diverge."""
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs_incremental(
+    new_sigs: DataFrame,
+    old_sigs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 5,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Pair stage for a NEW document batch against an existing signature
+    table: candidates = new x new ∪ new x old — the batch twin of the
+    streaming state pattern, and the form a daily 100 TB pipeline runs.
+    Banding, the >=2-band evidence cut, the signature prefilter and the
+    exact-Jaccard verification are semantically IDENTICAL to
+    :func:`minhash_lsh_pairs_from_sigs` restricted to pairs touching a
+    new id (pinned by test), but the bucket join probes only the banded
+    NEW side, so candidate-generation cost scales with the DELTA, not
+    the corpus — old documents never re-hash, never re-band against each
+    other, and only candidate-joined rows are ever re-shingled.
+
+    ``docs`` must cover every id in either signature table (it feeds the
+    narrow re-shingle verification, pruned by the hash join against the
+    few surviving pairs). No ``max_bucket_size`` guard here: an old-side
+    flood bucket of size m costs O(|new ∩ bucket| x m) candidates —
+    already delta-scaled; a flood INSIDE one batch is the full pair
+    stage's regime."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
+    nsig = new_sigs.select("id", "sig").persist()
+    osig = old_sigs.select("id", "sig")
+    banded_new = _banded(nsig, bands, rows_per_band)
+    banded_all = banded_new.unionByName(_banded(osig, bands, rows_per_band))
+    # normalize (least, greatest) then DISTINCT per (pair, band): each id
+    # holds one bucket per band, so distinct band rows == colliding-band
+    # count (a new-new pair arrives twice from the asymmetric join —
+    # once per orientation — and must not double its evidence)
+    min_bands = 2 if bands >= 8 else 1
+    cand = (
+        banded_new.alias("x")
+        .join(banded_all.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") != F.col("y.id"))
+        .select(
+            F.least("x.id", "y.id").alias("id_a"),
+            F.greatest("x.id", "y.id").alias("id_b"),
+            "band",
+        )
+        .distinct()
+        .groupBy("id_a", "id_b")
+        .count()
+        .filter(F.col("count") >= min_bands)
+        .select("id_a", "id_b")
+    )
+    # signature prefilter + exact verification: same two-stage shape (and
+    # the same margin constant) as the full pair stage
+    sig_margin = 4.5 * (0.25 / num_hashes) ** 0.5
+    sigs_all = nsig.unionByName(osig)
+    sa = sigs_all.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs_all.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+            )
+        )
+        / num_hashes
+    )
+    prefiltered = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(est >= threshold - sig_margin)
+        .select("id_a", "id_b")
+    )
+    cbase = _shingled(docs, id_col, text_col, shingle_n)
+    a = cbase.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = cbase.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        prefiltered.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs_from_sigs(
     sigs_df: DataFrame,
     docs: DataFrame,
@@ -360,28 +477,7 @@ def minhash_lsh_pairs_from_sigs(
             # CacheManager-keyed by plan, so repeated invocations of the
             # same query pay it only while cold.
             sigs.count()
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _banded(sigs, bands, rows_per_band)
 
     # Candidates must collide in >= 2 bands (when bands allow): a true
     # j>=0.8 pair collides in E[bands x j^rows] ~ 13 of 32 bands

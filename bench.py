@@ -40,6 +40,32 @@ FASTPATH_DOCS = int(os.environ.get("BENCH_FASTPATH_DOCS", "100000"))
 GROUPS = ["fastpath", "adaptive", "relational", "textops", "lsh"]
 
 
+def _control_loop(n: int) -> float:
+    """One pure-Python worker: n dependent integer ops, no Spark, no
+    numpy — a hardware probe, not an engine benchmark."""
+    t0 = time.time()
+    x = 0
+    for i in range(n):
+        x = (x * 1103515245 + 12345 + i) & 0xFFFFFFFF
+    return time.time() - t0
+
+
+def noise_control(workers: int = 8, n: int = 5_000_000) -> float:
+    """No-Spark multiprocessing control (the BENCH.md methodology, now
+    self-labeling in the artifact): per-proc efficiency of ``workers``
+    concurrent pure-Python loops vs one. Healthy machine ~= 0.85+;
+    hypervisor noise windows reproduce ~2x degradation on everything
+    parallel (observed round 4: 0.45) — a low value here flags the whole
+    run's parallel numbers as machine-noise-contaminated."""
+    import multiprocessing as mp
+
+    _control_loop(n // 10)  # frequency/cache ramp before the baseline
+    t1 = _control_loop(n)
+    with mp.Pool(workers) as pool:
+        times = pool.map(_control_loop, [n] * workers)
+    return round(min(t1 / (sum(times) / len(times)), 1.0), 3)
+
+
 def _get_spark():
     from adaptive_pdf_extractor_spark.session import get_spark
 
@@ -228,6 +254,49 @@ def group_lsh() -> dict:
 
     _timed(timings, "minhash_lsh_full", minhash_full)
 
+    # Incremental batch curation: old corpus signatures are the PERSISTED
+    # one-time cost (materialized outside the timed section — the daily
+    # pipeline reads them from a table); the timed run curates a 200-doc
+    # delta (100 near-dup mutations + 100 verbatim re-ingestions) against
+    # the full documents table. Cost must scale with the delta: compare
+    # against corpus_curation_lsh, which re-curates the whole corpus.
+    from pyspark.sql import functions as F
+
+    from adaptive_pdf_extractor_spark.operators.dedup import (
+        minhash_signatures_df,
+    )
+    from adaptive_pdf_extractor_spark.plans.curation import curate_increment
+
+    old_docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .persist()
+    )
+    old_sigs = minhash_signatures_df(old_docs, "doc_id", "text").persist()
+    extra["incremental_old_docs"] = old_docs.count()
+    old_sigs.count()  # materialize the signature table outside the timer
+    new_batch = (
+        old_docs.filter(F.col("doc_id") < 100)
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.expr("substring(text, 11)").alias("text"),
+        )
+        .unionByName(
+            old_docs.filter(
+                (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+            ).select((F.col("doc_id") + 600000).alias("doc_id"), "text")
+        )
+    )
+
+    def incremental():
+        curate_increment(
+            new_batch, old_docs, old_sigs=old_sigs, threshold=0.8
+        ).count()
+
+    _timed(timings, "incremental_curation_delta", incremental)
+    old_sigs.unpersist()
+    old_docs.unpersist()
+
     # Bucketed embedding near-dup at 10x the exact query's N (materialized
     # outside the timed section). Deliberately UNguarded, like-for-like
     # with BENCH_r02/r03: at this N the hyperplane buckets legitimately
@@ -275,6 +344,7 @@ def main() -> None:
     ]
     timings: dict = {}
     extra: dict = {}
+    control_pre = noise_control()
     for g in wanted:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--group", g],
@@ -298,6 +368,7 @@ def main() -> None:
         timings.update(result.pop("queries"))
         extra.update(result)
 
+    control_post = noise_control()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -313,6 +384,12 @@ def main() -> None:
                 "sustained_docs_per_sec": extra.get("sustained_docs_per_sec"),
                 "lsh_vectors": extra.get("lsh_vectors"),
                 "cpus": CPUS,
+                # no-Spark hardware control bracketing the run (min of
+                # before/after): < ~0.7 means a hypervisor noise window —
+                # the parallel numbers above are machine-contaminated
+                "control_efficiency": min(control_pre, control_post),
+                "control_pre": control_pre,
+                "control_post": control_post,
             }
         )
     )

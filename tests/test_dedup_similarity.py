@@ -92,6 +92,41 @@ def kw_sig(kw):
     return {k: kw[k] for k in ("shingle_n", "num_hashes")}
 
 
+def test_minhash_incremental_pairs_match_full(corpus):
+    """The incremental pair stage (new x new ∪ new x old) must equal the
+    full pair stage restricted to pairs touching a new id — banding,
+    evidence cut, prefilter and exact verification are the same
+    semantics, only the probe side shrinks. Split chosen so both
+    new-new (3,103)/(4,104) and new-old (0,100)... pairs exist."""
+    old = corpus.filter(F.col("doc_id") < 3)
+    new = corpus.filter(F.col("doc_id") >= 3)
+    kw = dict(shingle_n=5, num_hashes=128)
+    inc = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs_incremental(
+            dedup.minhash_signatures_df(new, "doc_id", "text", **kw),
+            dedup.minhash_signatures_df(old, "doc_id", "text", **kw),
+            corpus,
+            "doc_id",
+            "text",
+            threshold=0.8,
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(
+            corpus, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    expected = {
+        (a, b, j) for a, b, j in full if a in new_ids or b in new_ids
+    }
+    assert inc == expected
+    assert {(3, 103), (4, 104)} <= {(a, b) for a, b, _ in inc}  # new-new
+    assert {(0, 100), (10, 200)} <= {(a, b) for a, b, _ in inc}  # new-old
+
+
 def test_simhash_finds_planted_dups(corpus):
     pairs = {
         (r["id_a"], r["id_b"])

@@ -149,6 +149,41 @@ def test_curation_lsh_flows_5k_mega_cluster(spark):
     assert sum(r["cluster_size"] for r in out) == m
 
 
+def test_curation_run_manifest_persists_guard_metrics(spark, tmp_path):
+    """curation_run commits the guard telemetry INTO the run manifest
+    (round-5 ask): nonzero star_candidate_rows + flood_regime on a
+    template flood, zero / False on a clean corpus — readable from
+    manifest.json on disk, next to the committed output table."""
+    import json
+    import os
+
+    from adaptive_pdf_extractor_spark.plans.curation import curation_run
+
+    flood_dir = str(tmp_path / "flood")
+    summary = curation_run(
+        _mega_docs(spark, 1200, partitions=8), flood_dir, max_bucket_size=256
+    )
+    on_disk = json.load(open(os.path.join(flood_dir, "manifest.json")))
+    assert on_disk["status"] == "complete"
+    g = on_disk["summary"]["guard"]
+    assert g["star_candidate_rows"] > 0
+    assert g["max_oversized_bucket"] > 256
+    assert g["flood_regime"] is True
+    assert on_disk["summary"] == summary
+    curated = spark.read.parquet(on_disk["output_path"])
+    # the flood collapses: few canonicals, every input doc accounted for
+    assert curated.count() < 10
+    assert on_disk["summary"]["n_input"] == 1200
+
+    clean_dir = str(tmp_path / "clean")
+    s2 = curation_run(_mixed_docs(spark), clean_dir, max_bucket_size=256)
+    on2 = json.load(open(os.path.join(clean_dir, "manifest.json")))
+    assert on2["summary"]["guard"]["star_candidate_rows"] == 0
+    assert on2["summary"]["guard"]["flood_regime"] is False
+    assert on2["summary"]["guard"]["max_oversized_bucket"] is None
+    assert s2["n_output"] > 0
+
+
 def test_simhash_guard_bit_compatible_and_bounded(spark):
     docs = _mixed_docs(spark)
     unguarded = sorted(
