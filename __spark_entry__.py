@@ -468,6 +468,76 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY §2.4 breadth — completing the
+    grouping-set trio next to ROLLUP and CUBE): ((day, event_type),
+    (event_type), ()) — the exact set a report wants, without CUBE's
+    unused (day) stratum. One pass, grouping nulls coalesced to 'ALL'
+    identically on both engines."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    return (
+        e.select(day, "event_type", "value")
+        .groupingSets(
+            [["day", "event_type"], ["event_type"], []],
+            "day",
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (SURVEY §2.5 breadth next to the ROWS frame of
+    events_running_sum): per-user rolling 1-hour sum/count — the frame is
+    defined by the ORDER-key VALUE (all ts ties are peers, so the result
+    is deterministic under any tie order, unlike a ROWS frame)."""
+    from pyspark.sql.window import Window
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # ts is TIMESTAMP_NTZ; the session tz is pinned UTC (session.py), so
+    # the timestamp->long hop yields the same UTC epoch DuckDB's epoch()
+    # computes (and rangeBetween is difference-based anyway)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("hour_value"),
+        F.count("*").over(w).alias("hour_events"),
+    )
+
+
+def q_events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling (the training-pipeline
+    rebalancer): keep 20% of clicks, 50% of purchases, ALL errors, 5%
+    of everything else — selection is a pure function of event_id (md5
+    key ranges, the hash_split trick), so the sample is identical at any
+    parallelism and fully oracled row-for-row."""
+    from adaptive_pdf_extractor_spark.operators import stats
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stats.stratified_hash_sample(
+        e,
+        "event_id",
+        "event_type",
+        {"click": 0.2, "purchase": 0.5, "error": 1.0},
+        default=0.05,
+    ).select("event_id", "event_type")
+
+
 def q_events_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates (the 100 TB path for distincts/quantiles, where
     exact shuffles don't fit): HyperLogLog++ distinct users and a
@@ -1101,6 +1171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_rollup": q_events_rollup,
         "events_cube": q_events_cube,
+        "events_grouping_sets": q_events_grouping_sets,
+        "events_range_window": q_events_range_window,
+        "events_stratified_sample": q_events_stratified_sample,
         "events_percentiles": q_events_percentiles,
         "events_pivot": q_events_pivot,
         "events_sketch_stats": q_events_sketch_stats,
@@ -1691,6 +1764,34 @@ def oracle_sql() -> dict[str, str]:
                          event_type, value
                   FROM events)
             GROUP BY CUBE (day, event_type)
+        """,
+        "events_grouping_sets": """
+            SELECT coalesce(day, 'ALL') AS day,
+                   coalesce(event_type, 'ALL') AS event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                         event_type, value
+                  FROM events)
+            GROUP BY GROUPING SETS ((day, event_type), (event_type), ())
+        """,
+        "events_range_window": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER w, 2) AS hour_value,
+                   count(*) OVER w AS hour_events
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        """,
+        "events_stratified_sample": f"""
+            SELECT event_id, event_type FROM events
+            WHERE substring(md5(CAST(event_id AS VARCHAR)), 25, 8) <
+                CASE event_type
+                    WHEN 'click' THEN '{split_threshold_hex(0.2)}'
+                    WHEN 'purchase' THEN '{split_threshold_hex(0.5)}'
+                    WHEN 'error' THEN 'g'
+                    ELSE '{split_threshold_hex(0.05)}'
+                END
         """,
         "events_rollup": """
             SELECT coalesce(hour, 'ALL') AS hour,

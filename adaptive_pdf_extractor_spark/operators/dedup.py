@@ -684,6 +684,27 @@ def decontaminate(
     )
 
 
+def decontaminate_keys(
+    eval_df: DataFrame, text_col: str = "text", n: int = 13
+) -> list[str]:
+    """Driver-side distinct gram keys of an eval set (bounded by
+    construction — it's an eval suite, not a corpus): the closure /
+    ``sc.broadcast`` form the STATELESS streaming filter needs
+    (streaming.ingest.streaming_decontaminate), computed by the SAME
+    ``token_ngram_keys`` definition the batch operator joins on — the
+    two paths can never disagree on what a gram is."""
+    from ..functions.text import token_ngram_keys
+
+    rows = (
+        eval_df.select(
+            F.explode(token_ngram_keys(F.col(text_col), n)).alias("g")
+        )
+        .distinct()
+        .collect()
+    )
+    return [r["g"] for r in rows]
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

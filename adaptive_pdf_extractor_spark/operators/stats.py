@@ -66,6 +66,39 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff its
+    ``split_key`` (md5 of the id — a pure function, stable at any
+    parallelism/cluster size, unlike Bernoulli ``sample()`` whose seed is
+    per-partition-index) falls under its STRATUM's threshold. The
+    training-pipeline rebalancer: e.g. keep 10% of boilerplate-heavy
+    strata and 100% of rare ones, reproducibly. Strata absent from
+    ``fractions`` keep ``default`` (0 = drop). Pure projection + filter:
+    no shuffle, and the same id keeps/drops consistently across runs AND
+    across strata definitions (the key never changes)."""
+    for name, frac in fractions.items():
+        if not (0.0 <= frac <= 1.0):
+            raise ValueError(f"fraction out of [0,1] for {name!r}: {frac}")
+    if not (0.0 <= default <= 1.0):
+        raise ValueError(f"default fraction out of [0,1]: {default}")
+    key = split_key(F.col(id_col))
+    thr = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        lit = F.lit(split_threshold_hex(frac) if frac < 1.0 else "g")
+        # "g" sorts after every hex char -> fraction 1.0 keeps everything
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    dflt = F.lit(split_threshold_hex(default) if default < 1.0 else "g")
+    thr = dflt if thr is None else thr.otherwise(dflt)
+    return df.filter(key < thr)
+
+
 _UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 _LOWER = "abcdefghijklmnopqrstuvwxyz"
 

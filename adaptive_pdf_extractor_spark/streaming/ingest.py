@@ -156,6 +156,56 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_decontaminate(
+    docs: DataFrame,
+    eval_keys,
+    text_col: str = "text",
+    *,
+    n: int = 13,
+    min_hits: int = 1,
+    keep_contaminated: bool = False,
+) -> DataFrame:
+    """STATELESS streaming benchmark decontamination: drop (or, with
+    ``keep_contaminated``, keep only) stream documents sharing at least
+    ``min_hits`` token n-grams with a bounded eval key set — the
+    streaming twin of ``operators.dedup.decontaminate`` (pinned equal by
+    test). ``eval_keys`` are the md5-hex-16 gram keys from
+    ``dedup.decontaminate_keys`` / ``functions.text.token_ngram_keys`` —
+    the SAME key definition the batch operator broadcast-joins on.
+
+    The decision is per-row, so there is no watermark, no state store
+    and no output-mode constraint: the key set rides one
+    ``sc.broadcast`` to every executor — the streaming analog of the
+    batch broadcast hash join (at extreme eval sizes swap the set for a
+    Bloom filter over the same keys; the membership test is the only
+    thing that changes). Gram extraction stays JVM-side; only the
+    membership count runs as an Arrow-batched kernel."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from ..functions.text import token_ngram_keys
+
+    bkeys = docs.sparkSession.sparkContext.broadcast(set(eval_keys))
+
+    def hits(grams):
+        ks = bkeys.value
+        return pd.Series(
+            [
+                0 if g is None else sum(1 for x in g if x in ks)
+                for g in grams
+            ],
+            dtype="int64",
+        )
+
+    hits.__annotations__ = {"grams": pd.Series, "return": pd.Series}
+    hit_udf = pandas_udf("long")(hits)
+    flagged = docs.withColumn(
+        "_n_hit", hit_udf(token_ngram_keys(F.col(text_col), n))
+    )
+    cond = F.col("_n_hit") >= min_hits
+    return flagged.filter(cond if keep_contaminated else ~cond).drop("_n_hit")
+
+
 def streaming_interval_enrich(
     events: DataFrame,
     markers: DataFrame,

@@ -150,6 +150,70 @@ def test_streaming_exact_dedup_first_seen_wins(spark, tmp_path):
     assert len(bases) == 60
 
 
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Stateless streaming decontamination == the batch operator's keep
+    set on the same docs/eval pair, across micro-batches (one file per
+    trigger): the planted verbatim doc is dropped, everything clean
+    passes, and the flag-through mode returns exactly the complement."""
+    from adaptive_pdf_extractor_spark.operators import dedup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    evals = docs.filter(F.col("doc_id") == 3).select("text")
+    keys = dedup.decontaminate_keys(evals, "text", n=13)
+    assert keys  # doc 3 has >= 13 tokens at every sf
+
+    src = str(tmp_path / "landing_decon")
+    docs.filter(F.col("doc_id") < 20).write.parquet(src)
+    docs.filter(F.col("doc_id") >= 20).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        ingest.streaming_decontaminate(stream, keys, "text", n=13)
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("stream_decon")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM stream_decon").collect()
+    }
+    batch = dedup.decontaminate(docs, evals, "doc_id", "text", n=13)
+    expected = {
+        r["id"] for r in batch.filter(~F.col("contaminated")).collect()
+    }
+    assert got == expected
+    assert 3 not in got and len(got) >= 30
+
+    qc = (
+        ingest.streaming_decontaminate(
+            stream, keys, "text", n=13, keep_contaminated=True
+        )
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("stream_decon_bad")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qc.awaitTermination(120)
+    bad = {
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM stream_decon_bad").collect()
+    }
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert bad == all_ids - got
+
+
 def test_streaming_minhash_neardup_cross_batch_and_state_bound(spark, tmp_path):
     """Streaming minhash-LSH near-dup: a near-duplicate arriving in a LATER
     micro-batch is suppressed while its original is inside the watermark
