@@ -191,6 +191,9 @@ def group_relational() -> dict:
         "events_sessions",
         "events_rollup",
         "events_pivot",
+        "events_grouping_sets",
+        "events_range_window",
+        "events_stratified_sample",
     ]
     # group-level warmup: run every query once uncounted so the young
     # JVM's JIT/classload/parquet-reader costs are paid before timing —
@@ -216,6 +219,7 @@ def group_textops() -> dict:
         "doc_quality",
         "lang_id_dist",
         "exact_dedup",
+        "decontaminate",
         "embedding_topk",
         "embedding_neardup",
         "embedding_knn_join",

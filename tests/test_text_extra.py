@@ -274,3 +274,55 @@ def test_hash_split_validation_and_ascii_fold(spark):
     )
     assert got == want
     assert ("İstanbul", 2) in got  # non-ASCII preserved identically
+
+
+def test_token_ngram_keys_match_python_reference(spark):
+    """token_ngram_keys (the decontamination gram primitive) against a
+    straight-line Python reference over a seeded batch of edge-case and
+    random ASCII texts: empty, whitespace-only, sub-n, exactly-n,
+    repeated grams (distinct!), and every WS_CLASS char as a separator.
+    One Spark job for the whole batch."""
+    import hashlib
+    import random
+    import re
+
+    n = 5  # smaller n than production's 13 so short random texts exercise grams
+    ws = "\t\n\x0b\f\r "
+
+    def ref(text: str) -> list[str]:
+        cleaned = re.sub(rf"^[{ws}]+|[{ws}]+$", "", text.lower())
+        toks = re.split(rf"[{ws}]+", cleaned) if cleaned else []
+        if len(toks) < n:
+            return []
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        seen: set = set()
+        out = []
+        for g in grams:
+            k = hashlib.md5(g.encode("utf-8")).hexdigest()[:16]
+            if k not in seen:
+                seen.add(k)
+                out.append(k)
+        return out
+
+    rng = random.Random(17)
+    vocab = ["alpha", "beta", "Gamma", "d", "e1", "FF", "go"]
+    texts = ["", "   ", "\t\n", "a b c d", "a b c d e", "one two one two one two one two"]
+    for _ in range(60):
+        k = rng.randrange(0, 20)
+        toks = [rng.choice(vocab) for _ in range(k)]
+        seps = [rng.choice(ws) * rng.randrange(1, 3) for _ in range(max(k - 1, 0))]
+        t = "".join(
+            tok + (seps[i] if i < len(seps) else "") for i, tok in enumerate(toks)
+        )
+        texts.append(rng.choice(ws) * rng.randrange(0, 2) + t)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, t string"
+    )
+    rows = {
+        r["id"]: list(r["g"])
+        for r in df.select(
+            "id", T.token_ngram_keys(F.col("t"), n).alias("g")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert rows[i] == ref(t), (i, t)
