@@ -333,11 +333,15 @@ def minhash_lsh_pairs_incremental(
     other, and only candidate-joined rows are ever re-shingled.
 
     ``docs`` must cover every id in either signature table (it feeds the
-    narrow re-shingle verification, pruned by the hash join against the
-    few surviving pairs). No ``max_bucket_size`` guard here: an old-side
-    flood bucket of size m costs O(|new ∩ bucket| x m) candidates —
-    already delta-scaled; a flood INSIDE one batch is the full pair
-    stage's regime."""
+    re-shingle verification — ONE linear narrow pass, evaluated once; see
+    below). Per-batch cost: candidate generation probes only the banded
+    NEW side (delta x bucket-density pairs), plus one linear narrow pass
+    over the old corpus for banding and verification — no quadratic
+    term, and crucially the EXPENSIVE per-doc work (the 128-hash
+    signatures) runs for new docs only. No ``max_bucket_size`` guard
+    here: an old-side flood bucket of size m costs O(|new ∩ bucket| x m)
+    candidates — already delta-scaled; a flood INSIDE one batch is the
+    full pair stage's regime."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
     nsig = new_sigs.select("id", "sig").persist()
@@ -384,16 +388,28 @@ def minhash_lsh_pairs_incremental(
         .filter(est >= threshold - sig_margin)
         .select("id_a", "id_b")
     )
+    # Exact verification with ONE evaluation of the shingled corpus: the
+    # full stage's two-sided (a ⋈ b) form embeds the shingle subtree
+    # TWICE in the plan (computed twice per action — measured as the
+    # whole verify stage doubling); here pairs explode to one row per
+    # endpoint, join the shingled docs once, and regroup. The shuffle
+    # carries candidate-scaled shingle arrays only; intersect/union are
+    # symmetric, so the jaccard is identical to the two-sided form.
     cbase = _shingled(docs, id_col, text_col, shingle_n)
-    a = cbase.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = cbase.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
+    sides = prefiltered.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
     )
+    gathered = (
+        sides.join(cbase, "id")
+        .groupBy("id_a", "id_b")
+        .agg(F.collect_list("shingles").alias("sh"))
+        .filter(F.size("sh") == 2)  # endpoint missing from docs -> no pair
+    )
+    jac = F.size(
+        F.array_intersect(F.element_at("sh", 1), F.element_at("sh", 2))
+    ) / F.size(F.array_union(F.element_at("sh", 1), F.element_at("sh", 2)))
     return (
-        prefiltered.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(jac >= threshold)
+        gathered.filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -594,25 +610,33 @@ def minhash_lsh_pairs_from_sigs(
         .select("id_a", "id_b")
     )
 
-    # Exact verification: join the shingled docs to the surviving pairs
-    # directly. (A semi-join pre-prune of docs by candidate ids LOOKS
-    # cheaper but re-evaluates the whole banding/prefilter subtree for the
-    # candidate-id branch before its cache populates — measured 1.6x
-    # SLOWER end-to-end at 10k docs. Shingling is a narrow JVM projection;
-    # the hash join against the few pairs prunes at the probe side.)
+    # Exact verification: ONE evaluation of the shingled corpus. (Two
+    # earlier formulations both lose: a semi-join pre-prune of docs by
+    # candidate ids re-evaluates the banding/prefilter subtree before its
+    # cache populates — measured 1.6x slower end-to-end; and the
+    # two-sided a ⋈ b join embeds the shingle subtree TWICE in the plan,
+    # computing it twice per action — measured ~10% of the warm stage
+    # and 3x of the cold one at 5k docs. Exploding each pair to one row
+    # per endpoint joins the shingled docs ONCE and regroups; the
+    # regroup shuffle carries candidate-scaled shingle arrays only, and
+    # intersect/union are symmetric so the jaccard is unchanged.)
     cbase = _shingled(docs, id_col, text_col, shingle_n)
-    a = cbase.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = cbase.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
+    sides = prefiltered.select(
+        "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
     )
-    verified = (
-        prefiltered.join(a, "id_a")
-        .join(b, "id_b")
-        .filter(jac >= threshold)  # exact check on the surviving few
+    gathered = (
+        sides.join(cbase, "id")
+        .groupBy("id_a", "id_b")
+        .agg(F.collect_list("shingles").alias("sh"))
+        .filter(F.size("sh") == 2)  # endpoint missing from docs -> no pair
+    )
+    jac = F.size(
+        F.array_intersect(F.element_at("sh", 1), F.element_at("sh", 2))
+    ) / F.size(F.array_union(F.element_at("sh", 1), F.element_at("sh", 2)))
+    return (
+        gathered.filter(jac >= threshold)  # exact check on the surviving few
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
     )
-    return verified
 
 
 # ---------------------------------------------------------------------------

@@ -77,13 +77,15 @@ def _get_spark():
     return spark
 
 
-def _timed(timings: dict, name: str, fn) -> None:
+def _timed(timings: dict, name: str, fn, trials: int = 2) -> None:
     # warmup run first (first executions pay 8-30x JIT/classload), then
-    # best-of-2: ambient machine noise swings single unpinned runs ~2x
+    # best-of-N: ambient machine noise swings single unpinned runs ~2x
     # (the pinned measurements in BENCH.md are the stable reference).
+    # The long pandas-UDF queries (lsh group) use best-of-3 — measured
+    # ±30% run-to-run GC/JIT wobble even with a healthy noise control.
     fn()
     best = float("inf")
-    for _ in range(2):
+    for _ in range(trials):
         t0 = time.time()
         fn()
         best = min(best, time.time() - t0)
@@ -246,7 +248,10 @@ def group_lsh() -> dict:
         "embedding_knn_join_ivf",
         "corpus_curation_lsh",
     ]:
-        _timed(timings, name, lambda n=name: qs[n](spark, SF_DIR).count())
+        _timed(
+            timings, name, lambda n=name: qs[n](spark, SF_DIR).count(),
+            trials=3,
+        )
 
     def minhash_full():
         # deliberately UNguarded: like-for-like with BENCH_r02/r03 (the
@@ -256,7 +261,7 @@ def group_lsh() -> dict:
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8).count()
 
-    _timed(timings, "minhash_lsh_full", minhash_full)
+    _timed(timings, "minhash_lsh_full", minhash_full, trials=3)
 
     # Incremental batch curation: old corpus signatures are the PERSISTED
     # one-time cost (materialized outside the timed section — the daily
@@ -297,7 +302,7 @@ def group_lsh() -> dict:
             new_batch, old_docs, old_sigs=old_sigs, threshold=0.8
         ).count()
 
-    _timed(timings, "incremental_curation_delta", incremental)
+    _timed(timings, "incremental_curation_delta", incremental, trials=3)
     old_sigs.unpersist()
     old_docs.unpersist()
 
@@ -321,7 +326,7 @@ def group_lsh() -> dict:
             n_tables=4,
         ).count()
 
-    _timed(timings, "embedding_neardup_lsh_10x", emb_lsh)
+    _timed(timings, "embedding_neardup_lsh_10x", emb_lsh, trials=3)
     big.unpersist()
     return {"queries": timings, **extra}
 
