@@ -63,7 +63,11 @@ def noise_control(workers: int = 8, n: int = 5_000_000) -> float:
     t1 = _control_loop(n)
     with mp.Pool(workers) as pool:
         times = pool.map(_control_loop, [n] * workers)
-    return round(min(t1 / (sum(times) / len(times)), 1.0), 3)
+    # (efficiency ratio, absolute 1-proc seconds): the ratio catches
+    # multicore-collapse windows; the ABSOLUTE single-core time catches
+    # frequency/throttling windows the ratio is blind to (observed: a
+    # window where every query ran ~25% slow with the ratio at 0.98)
+    return round(min(t1 / (sum(times) / len(times)), 1.0), 3), round(t1, 3)
 
 
 def _get_spark():
@@ -353,7 +357,7 @@ def main() -> None:
     ]
     timings: dict = {}
     extra: dict = {}
-    control_pre = noise_control()
+    control_pre, control_pre_sec = noise_control()
     for g in wanted:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--group", g],
@@ -377,7 +381,7 @@ def main() -> None:
         timings.update(result.pop("queries"))
         extra.update(result)
 
-    control_post = noise_control()
+    control_post, control_post_sec = noise_control()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -399,6 +403,10 @@ def main() -> None:
                 "control_efficiency": min(control_pre, control_post),
                 "control_pre": control_pre,
                 "control_post": control_post,
+                # absolute single-core loop seconds (frequency probe);
+                # compare across runs — a high value with a healthy
+                # ratio means a slow-clock window
+                "control_sec_1proc": max(control_pre_sec, control_post_sec),
             }
         )
     )
