@@ -641,3 +641,46 @@ def test_streaming_sessions_equal_batch(spark, tmp_path):
     # one in file 2, 25-min gap at the seam) form ONE session
     a_sessions = [g for g in got if g[0] == "a"]
     assert len(a_sessions) == 1 and a_sessions[0][3] == 3
+
+
+def test_streaming_stratified_sample_matches_batch(spark, tmp_path):
+    """stratified_hash_sample is a pure projection+filter (md5 key
+    ranges), so it is streaming-safe with NO state: applied to a
+    micro-batched stream it must keep exactly the batch operator's rows."""
+    from adaptive_pdf_extractor_spark.operators import stats
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "event_type")
+    )
+    src = str(tmp_path / "landing_strat")
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(src)
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    fr = {"click": 0.2, "purchase": 0.5, "error": 1.0}
+    stream = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stats.stratified_hash_sample(
+            stream, "event_id", "event_type", fr, default=0.05
+        )
+        .writeStream.format("memory")
+        .queryName("stream_strat")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]
+        for r in spark.sql("SELECT event_id FROM stream_strat").collect()
+    }
+    expected = {
+        r["event_id"]
+        for r in stats.stratified_hash_sample(
+            ev, "event_id", "event_type", fr, default=0.05
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
