@@ -729,6 +729,66 @@ def decontaminate_keys(
     return [r["g"] for r in rows]
 
 
+def build_gram_bloom(keys, fpr: float = 1e-3):
+    """Deterministic Bloom filter over md5-hex-16 gram keys — the
+    extreme-eval-scale membership tier for decontamination: at ~10 bits
+    per key (fpr 1e-3) a 100M-gram eval union broadcasts as ~120 MB of
+    bits where the exact key set would be ~1.6 GB of strings. Standard
+    sizing (m = -n ln fpr / ln²2, k = m/n ln 2) with Kirsch-Mitzenmacher
+    double hashing over the key's uint64 value (h2 splitmix-mixed, forced
+    odd; i*h2 wraps mod 2^64 by definition). Returns ``(bits: bytes,
+    n_hashes, n_bits)``. NO false negatives ever; false positives inflate
+    a doc's hit count at ~P(1-(1-fpr)^n_grams) — callers trading the
+    exact set for this accept that a clean doc may be dropped at that
+    rate (never the reverse)."""
+    import math
+
+    import numpy as np
+
+    n = max(len(keys), 1)
+    m = max(64, int(math.ceil(-n * math.log(fpr) / (math.log(2) ** 2))))
+    m = (m + 7) // 8 * 8
+    k = max(1, int(round(m / n * math.log(2))))
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    if keys:
+        kv = np.array([int(x, 16) for x in keys], dtype=np.uint64)
+        h1, h2 = _bloom_h1_h2(np, kv)
+        with np.errstate(over="ignore"):
+            for i in range(k):
+                pos = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(
+                    np.int64
+                )
+                np.bitwise_or.at(
+                    bits, pos // 8, (1 << (pos % 8)).astype(np.uint8)
+                )
+    return bits.tobytes(), k, m
+
+
+def _bloom_h1_h2(np, kv):
+    """Double-hashing pair for a uint64 key array: h1 = the key itself
+    (md5-derived, already uniform), h2 = splitmix64 mix forced odd (odd
+    stride visits all of Z_m for power-free m often enough; the textbook
+    construction)."""
+    with np.errstate(over="ignore"):
+        z = kv + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h2 = (z ^ (z >> np.uint64(31))) | np.uint64(1)
+    return kv, h2
+
+
+def bloom_contains(np, bits, k: int, m: int, kv):
+    """Vectorized membership test: uint64 key array in, bool array out."""
+    arr = np.frombuffer(bits, dtype=np.uint8)
+    h1, h2 = _bloom_h1_h2(np, kv)
+    out = np.ones(len(kv), dtype=bool)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            pos = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+            out &= (arr[pos // 8] >> (pos % 8).astype(np.uint8)) & 1 == 1
+    return out
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

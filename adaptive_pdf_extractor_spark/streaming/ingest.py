@@ -164,6 +164,7 @@ def streaming_decontaminate(
     n: int = 13,
     min_hits: int = 1,
     keep_contaminated: bool = False,
+    bloom_fpr: float | None = None,
 ) -> DataFrame:
     """STATELESS streaming benchmark decontamination: drop (or, with
     ``keep_contaminated``, keep only) stream documents sharing at least
@@ -174,28 +175,48 @@ def streaming_decontaminate(
     the SAME key definition the batch operator broadcast-joins on.
 
     The decision is per-row, so there is no watermark, no state store
-    and no output-mode constraint: the key set rides one
+    and no output-mode constraint: the membership structure rides one
     ``sc.broadcast`` to every executor — the streaming analog of the
-    batch broadcast hash join (at extreme eval sizes swap the set for a
-    Bloom filter over the same keys; the membership test is the only
-    thing that changes). Gram extraction stays JVM-side; only the
-    membership count runs as an Arrow-batched kernel."""
+    batch broadcast hash join. ``bloom_fpr`` swaps the exact key set for
+    a Bloom filter at that false-positive rate (dedup.build_gram_bloom —
+    ~10 bits/key at 1e-3 vs ~16 bytes/key for the exact set; NO false
+    negatives, so contamination is never missed, but a clean doc may be
+    dropped at ~1-(1-fpr)^n_grams). Gram extraction stays JVM-side; only
+    the membership count runs as an Arrow-batched kernel."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
 
     from ..functions.text import token_ngram_keys
+    from ..operators.dedup import bloom_contains, build_gram_bloom
 
-    bkeys = docs.sparkSession.sparkContext.broadcast(set(eval_keys))
+    sc = docs.sparkSession.sparkContext
+    if bloom_fpr is not None:
+        bbloom = sc.broadcast(build_gram_bloom(list(eval_keys), bloom_fpr))
 
-    def hits(grams):
-        ks = bkeys.value
-        return pd.Series(
-            [
-                0 if g is None else sum(1 for x in g if x in ks)
-                for g in grams
-            ],
-            dtype="int64",
-        )
+        def hits(grams):
+            bits, k, m = bbloom.value
+            out = []
+            for g in grams:
+                if g is None or len(g) == 0:
+                    out.append(0)
+                    continue
+                kv = np.array([int(x, 16) for x in g], dtype=np.uint64)
+                out.append(int(bloom_contains(np, bits, k, m, kv).sum()))
+            return pd.Series(out, dtype="int64")
+
+    else:
+        bkeys = sc.broadcast(set(eval_keys))
+
+        def hits(grams):
+            ks = bkeys.value
+            return pd.Series(
+                [
+                    0 if g is None else sum(1 for x in g if x in ks)
+                    for g in grams
+                ],
+                dtype="int64",
+            )
 
     hits.__annotations__ = {"grams": pd.Series, "return": pd.Series}
     hit_udf = pandas_udf("long")(hits)

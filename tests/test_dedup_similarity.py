@@ -832,3 +832,37 @@ def test_fuzzy_text_pairs_matches_bruteforce(spark):
     assert (1, 2) in found and (10, 11) in found and (10, 12) in found
     assert (13, 14) in found  # empty vs 4-char: distance 4
     assert (20, 21) not in found  # transposition is edit-far
+
+
+def test_gram_bloom_no_false_negatives_and_fpr():
+    """build_gram_bloom: every inserted key tests positive (NO false
+    negatives — the decontamination guarantee), and the false-positive
+    rate on 50k random non-members stays within 3x the nominal fpr."""
+    import hashlib
+
+    import numpy as np
+
+    from adaptive_pdf_extractor_spark.operators.dedup import (
+        bloom_contains,
+        build_gram_bloom,
+    )
+
+    keys = [
+        hashlib.md5(f"member-{i}".encode()).hexdigest()[:16]
+        for i in range(5000)
+    ]
+    bits, k, m = build_gram_bloom(keys, fpr=1e-3)
+    kv = np.array([int(x, 16) for x in keys], dtype=np.uint64)
+    assert bloom_contains(np, bits, k, m, kv).all()
+    others = np.array(
+        [
+            int(hashlib.md5(f"non-{i}".encode()).hexdigest()[:16], 16)
+            for i in range(50000)
+        ],
+        dtype=np.uint64,
+    )
+    fp = bloom_contains(np, bits, k, m, others).mean()
+    assert fp <= 3e-3, fp
+    # empty-key edge: nothing is ever a member
+    bits0, k0, m0 = build_gram_bloom([], fpr=1e-3)
+    assert not bloom_contains(np, bits0, k0, m0, others[:100]).any()

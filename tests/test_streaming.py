@@ -684,3 +684,45 @@ def test_streaming_stratified_sample_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_decontaminate_bloom_tier(spark, tmp_path):
+    """The Bloom membership tier: same keep-set as the exact set on this
+    corpus (the filter is deterministic — this pin is stable, not flaky),
+    and the planted contaminated doc is always dropped (no false
+    negatives by construction)."""
+    from adaptive_pdf_extractor_spark.operators import dedup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", "text")
+    )
+    evals = docs.filter(F.col("doc_id") == 3).select("text")
+    keys = dedup.decontaminate_keys(evals, "text", n=13)
+    src = str(tmp_path / "landing_decon_bloom")
+    docs.write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(src)
+    )
+    q = (
+        ingest.streaming_decontaminate(
+            stream, keys, "text", n=13, bloom_fpr=1e-6
+        )
+        .select("doc_id")
+        .writeStream.format("memory")
+        .queryName("stream_decon_bloom")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM stream_decon_bloom").collect()
+    }
+    batch = dedup.decontaminate(docs, evals, "doc_id", "text", n=13)
+    exact = {r["id"] for r in batch.filter(~F.col("contaminated")).collect()}
+    assert 3 not in got  # contamination can never slip through a Bloom
+    assert got == exact  # no false positive fired on this corpus
