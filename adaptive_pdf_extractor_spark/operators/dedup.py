@@ -320,6 +320,7 @@ def minhash_lsh_pairs_incremental(
     num_hashes: int = 128,
     bands: int = 32,
     threshold: float = 0.8,
+    prune_verify: bool = False,
 ) -> DataFrame:
     """Pair stage for a NEW document batch against an existing signature
     table: candidates = new x new ∪ new x old — the batch twin of the
@@ -341,7 +342,16 @@ def minhash_lsh_pairs_incremental(
     signatures) runs for new docs only. No ``max_bucket_size`` guard
     here: an old-side flood bucket of size m costs O(|new ∩ bucket| x m)
     candidates — already delta-scaled; a flood INSIDE one batch is the
-    full pair stage's regime."""
+    full pair stage's regime.
+
+    ``prune_verify``: semi-join the verification docs down to the
+    candidate ids before shingling. The candidate set must materialize
+    first (persist + one eager count job at plan-build), so the default
+    stays lazy/single-action — right for bench-scale corpora; enable it
+    when the old corpus is large relative to the delta (the daily
+    production regime: measured 16.6s -> ~9s at 50k old docs x 500
+    delta, and the gap grows with the corpus since the un-pruned verify
+    shingles every old doc)."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes, "bands must divide num_hashes"
     nsig = new_sigs.select("id", "sig").persist()
@@ -395,7 +405,21 @@ def minhash_lsh_pairs_incremental(
     # endpoint, join the shingled docs once, and regroup. The shuffle
     # carries candidate-scaled shingle arrays only; intersect/union are
     # symmetric, so the jaccard is identical to the two-sided form.
-    cbase = _shingled(docs, id_col, text_col, shingle_n)
+    verify_docs = docs
+    if prune_verify:
+        prefiltered = prefiltered.persist()
+        prefiltered.count()  # candidate ids must exist before the prune
+        cand_ids = prefiltered.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)
+        ).distinct()
+        # unconditional full-width repartition: AQE coalesces the tiny
+        # semi-join output to ~1 partition and the interpreted shingle
+        # projection is compute-bound per row (measured 3.7s single-core
+        # vs 0.5s spread for 210 docs)
+        verify_docs = docs.join(cand_ids, id_col, "left_semi").repartition(
+            max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+        )
+    cbase = _shingled(verify_docs, id_col, text_col, shingle_n)
     sides = prefiltered.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
     )

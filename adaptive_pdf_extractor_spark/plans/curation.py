@@ -90,6 +90,7 @@ def curate_increment(
     threshold: float = 0.8,
     decontaminate_against: DataFrame | None = None,
     decon_n: int = 13,
+    prune_verify: bool = False,
 ) -> DataFrame:
     """Curate a NEW document batch against an EXISTING curated corpus —
     the daily form of the 100 TB pipeline: only new docs quality-score,
@@ -153,7 +154,7 @@ def curate_increment(
     pairs = dedup.minhash_lsh_pairs_incremental(
         new_sigs, old_sigs, docs_all, "doc_id", "text",
         shingle_n=shingle_n, num_hashes=num_hashes,
-        bands=bands, threshold=threshold,
+        bands=bands, threshold=threshold, prune_verify=prune_verify,
     )
     # classify endpoints: every pair touches >= 1 new id by construction
     new_ids = kept.select(F.col("doc_id").alias("id"))

@@ -88,6 +88,9 @@ def main() -> None:
             bands=args.bands,
             threshold=args.threshold,
             decontaminate_against=evals,
+            # the CLI's incremental mode IS the daily production regime
+            # (old corpus >> delta) — prune the verification scan
+            prune_verify=True,
         )
         out = os.path.join(args.run_dir, "curated.parquet")
         os.makedirs(args.run_dir, exist_ok=True)

@@ -125,6 +125,21 @@ def test_minhash_incremental_pairs_match_full(corpus):
     assert inc == expected
     assert {(3, 103), (4, 104)} <= {(a, b) for a, b, _ in inc}  # new-new
     assert {(0, 100), (10, 200)} <= {(a, b) for a, b, _ in inc}  # new-old
+    # the pruned-verification path (the cold daily-pipeline form) must
+    # produce the identical pair set
+    pruned = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs_incremental(
+            dedup.minhash_signatures_df(new, "doc_id", "text", **kw),
+            dedup.minhash_signatures_df(old, "doc_id", "text", **kw),
+            corpus,
+            "doc_id",
+            "text",
+            threshold=0.8,
+            prune_verify=True,
+        ).collect()
+    }
+    assert pruned == expected
 
 
 def test_simhash_finds_planted_dups(corpus):
