@@ -1775,17 +1775,25 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY GROUPING SETS ((day, event_type), (event_type), ())
         """,
+        # floor(epoch) — the Spark side's timestamp->long cast truncates
+        # to whole seconds, and RANGE membership near the exact-3600s
+        # boundary differs between fractional and truncated order keys
+        # (one real divergent pair exists at sf0.1)
         "events_range_window": """
             SELECT event_id, user_id,
                    round(sum(value) OVER w, 2) AS hour_value,
                    count(*) OVER w AS hour_events
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         """,
+        # ':sample' salt: the sampling key must be independent of
+        # hash_split's unsalted key (same constant as the Spark side)
         "events_stratified_sample": f"""
             SELECT event_id, event_type FROM events
-            WHERE substring(md5(CAST(event_id AS VARCHAR)), 25, 8) <
+            WHERE substring(md5(CAST(event_id AS VARCHAR) || ':sample'),
+                            25, 8) <
                 CASE event_type
                     WHEN 'click' THEN '{split_threshold_hex(0.2)}'
                     WHEN 'purchase' THEN '{split_threshold_hex(0.5)}'

@@ -145,14 +145,23 @@ def char_ngrams(col: Column, n: int = 5) -> Column:
 
 
 def token_ngram_keys(col: Column, n: int = 13, width: int = 16) -> Column:
-    """Distinct ``n``-token n-gram keys of the lowercased text: each gram
-    is ``n`` consecutive whitespace tokens joined by one space, keyed by
-    the first ``width`` hex chars of its md5 (compact AND engine-portable
-    — a DuckDB oracle reproduces every key, the hash_split/winnowing_md5
-    trick). Texts with fewer than ``n`` tokens yield an empty array.
+    """Distinct ``n``-token n-gram keys of the case-folded text: each
+    gram is ``n`` consecutive whitespace tokens joined by one space,
+    keyed by the first ``width`` hex chars of its md5 (compact AND
+    engine-portable — a DuckDB oracle reproduces every key, the
+    hash_split/winnowing_md5 trick). Case folding is ASCII-only
+    (translate, NOT full-Unicode lower()): Java and DuckDB lower() can
+    disagree on exotic uppercase ('İ'), and a single divergent byte
+    changes the md5 key — the same reasoning as stats.ascii_fold and
+    WS_CLASS. Texts with fewer than ``n`` tokens yield an empty array.
     The benchmark-decontamination primitive: 13-gram membership is the
     standard train-vs-eval overlap test (GPT-3 appendix C lineage)."""
-    toks = tokens(F.lower(col))
+    folded = F.translate(
+        col,
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "abcdefghijklmnopqrstuvwxyz",
+    )
+    toks = tokens(folded)
     n_grams = F.size(toks) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),

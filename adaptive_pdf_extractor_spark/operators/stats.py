@@ -72,22 +72,32 @@ def stratified_hash_sample(
     strata_col: str,
     fractions: dict[str, float],
     default: float = 0.0,
+    salt: str = "sample",
 ) -> DataFrame:
-    """Deterministic per-stratum downsampling: keep a row iff its
-    ``split_key`` (md5 of the id — a pure function, stable at any
-    parallelism/cluster size, unlike Bernoulli ``sample()`` whose seed is
+    """Deterministic per-stratum downsampling: keep a row iff its salted
+    md5 key (a pure function of the id, stable at any parallelism/
+    cluster size, unlike Bernoulli ``sample()`` whose seed is
     per-partition-index) falls under its STRATUM's threshold. The
     training-pipeline rebalancer: e.g. keep 10% of boilerplate-heavy
     strata and 100% of rare ones, reproducibly. Strata absent from
     ``fractions`` keep ``default`` (0 = drop). Pure projection + filter:
     no shuffle, and the same id keeps/drops consistently across runs AND
-    across strata definitions (the key never changes)."""
+    across strata definitions (the key never changes).
+
+    The key is SALTED (``md5(id || ':' || salt)``) so the sampling
+    decision is independent of :func:`hash_split`'s unsalted key — with
+    a shared key, every sampled row would land in the low key range and
+    the train/val/test tail splits would receive ZERO sampled rows."""
     for name, frac in fractions.items():
         if not (0.0 <= frac <= 1.0):
             raise ValueError(f"fraction out of [0,1] for {name!r}: {frac}")
     if not (0.0 <= default <= 1.0):
         raise ValueError(f"default fraction out of [0,1]: {default}")
-    key = split_key(F.col(id_col))
+    key = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+        25,
+        8,
+    )
     thr = None
     for name, frac in fractions.items():
         cond = F.col(strata_col) == name

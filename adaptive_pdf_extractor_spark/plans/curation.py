@@ -217,7 +217,10 @@ def curation_run(
     verified — see dedup.minhash_lsh_pairs_from_sigs)."""
     from ..sources import spark_io
 
-    obs = Observation("lsh_guard")
+    # the Observation is only ever ATTACHED by the guarded pair stage —
+    # with the guard off, obs.get would raise NO_OBSERVE_BEFORE_GET after
+    # the output write, so skip the telemetry entirely in that case
+    obs = Observation("lsh_guard") if max_bucket_size is not None else None
     out = curation_pipeline(
         docs,
         lambda kept: dedup.minhash_lsh_pairs(
@@ -241,7 +244,7 @@ def curation_run(
     n_output = spark_io.read_table(
         docs.sparkSession, output_path, catalog=catalog
     ).count()
-    guard = obs.get
+    guard = obs.get if obs is not None else {}
     max_over = guard.get("max_oversized_bucket")
     summary = {
         "n_input": int(n_input),

@@ -234,13 +234,14 @@ def read_state_version_below(
     streaming.ingest.streaming_minhash_neardup).
 
     * ``parquet``: newest ``v=<n>`` directory with n < below.
-    * ``iceberg``: walk the snapshot history newest-first via time travel
-      until a stamped version qualifies — snapshot-replace keeps each
-      version as one snapshot, so the walk is exactly the parquet
-      directory scan expressed through table metadata. EVERY read is
-      pinned to an explicit snapshot-id (including the current snapshot,
-      which is just the newest history entry), so the returned frame is
-      immune to a subsequent snapshot-replace of the same table. Every
+    * ``iceberg``: read every snapshot's version stamp via time travel
+      and return the MAX qualifying version — snapshot-replace keeps
+      each version as one snapshot, so this is exactly the parquet
+      directory scan expressed through table metadata, and selecting by
+      stamp (not commit-time order) is immune to same-millisecond
+      committed_at ties. EVERY read is pinned to an explicit
+      snapshot-id, so the returned frame is immune to a subsequent
+      snapshot-replace of the same table. Every
       commit carries a sentinel row (see ``STATE_SENTINEL_COL``), so
       EMPTY state versions are still version-stamped and a dead run's
       older snapshot can never shadow a fresh lineage's empty commit.
@@ -280,22 +281,26 @@ def read_state_version_below(
                 )
             return df.drop(STATE_VERSION_COL)
 
-        # ONE pinned newest-first walk (the current snapshot is simply the
-        # newest row of the .snapshots metadata table): every read carries
-        # an explicit snapshot-id, so the returned DataFrame can never be
-        # re-planned against a LATER commit — the self-overwrite safety
-        # the streaming loop's same-table snapshot-replace relies on is
-        # true by construction on every path, not just the history walk.
+        # ONE pinned walk over the .snapshots metadata table: every read
+        # carries an explicit snapshot-id, so the returned DataFrame can
+        # never be re-planned against a LATER commit — the self-overwrite
+        # safety the streaming loop's same-table snapshot-replace relies
+        # on is true by construction on every path. Selection is by MAX
+        # qualifying VERSION STAMP, not commit-time order: committed_at
+        # has millisecond resolution and no tie-break, so two rapid
+        # commits (empty micro-batches on a local FS) could otherwise
+        # return the older version non-deterministically. Snapshot count
+        # is bounded by retention, so stamping every snapshot is cheap.
         try:
             snaps = (
                 spark.read.format("iceberg")
                 .load(f"{state_dir}.snapshots")
-                .select("snapshot_id", "committed_at")
-                .orderBy(F.desc("committed_at"))
+                .select("snapshot_id")
                 .collect()
             )
         except Exception:
             return None  # table does not exist yet
+        best: tuple[int, DataFrame] | None = None
         for s in snaps:
             df = (
                 spark.read.option("snapshot-id", s["snapshot_id"])
@@ -304,8 +309,9 @@ def read_state_version_below(
             )
             v = _version_of(df)
             if v is not None and int(v) < below:
-                return _payload(df)
-        return None
+                if best is None or int(v) > best[0]:
+                    best = (int(v), df)
+        return _payload(best[1]) if best is not None else None
     raise ValueError(f"unknown catalog {catalog!r}; expected one of {CATALOGS}")
 
 

@@ -50,7 +50,7 @@ def _control_loop(n: int) -> float:
     return time.time() - t0
 
 
-def noise_control(workers: int = 8, n: int = 5_000_000) -> float:
+def noise_control(workers: int = 8, n: int = 5_000_000) -> tuple[float, float]:
     """No-Spark multiprocessing control (the BENCH.md methodology, now
     self-labeling in the artifact): per-proc efficiency of ``workers``
     concurrent pure-Python loops vs one. Healthy machine ~= 0.85+;
@@ -265,7 +265,10 @@ def group_lsh() -> dict:
         d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         minhash_lsh_pairs(d, "doc_id", "text", threshold=0.8).count()
 
-    _timed(timings, "minhash_lsh_full", minhash_full, trials=3)
+    # trials=2 (NOT 3): minhash_lsh_full is one of the two DELIBERATELY
+    # like-for-like bench points (CLAUDE.md invariant 6) — changing the
+    # trial count would change the recorded statistic across rounds
+    _timed(timings, "minhash_lsh_full", minhash_full)
 
     # Incremental batch curation: old corpus signatures are the PERSISTED
     # one-time cost (materialized outside the timed section — the daily
@@ -330,7 +333,8 @@ def group_lsh() -> dict:
             n_tables=4,
         ).count()
 
-    _timed(timings, "embedding_neardup_lsh_10x", emb_lsh, trials=3)
+    # trials=2: the other like-for-like comparability point (see above)
+    _timed(timings, "embedding_neardup_lsh_10x", emb_lsh)
     big.unpersist()
     return {"queries": timings, **extra}
 

@@ -92,16 +92,21 @@ def main() -> None:
             # (old corpus >> delta) — prune the verification scan
             prune_verify=True,
         )
+        from adaptive_pdf_extractor_spark.plans.checkpoint import RunManifest
+        from adaptive_pdf_extractor_spark.sources import spark_io
+
         out = os.path.join(args.run_dir, "curated.parquet")
-        os.makedirs(args.run_dir, exist_ok=True)
-        kept.write.mode("overwrite").parquet(out)
-        n = spark.read.parquet(out).count()
+        spark_io.write_table(kept, out)
+        n = spark_io.read_table(spark, out).count()
         summary = {
             "mode": "incremental",
             "n_batch": docs.count(),
             "n_kept": n,
             "output_path": out,
         }
+        # the manifest IS the production record for the daily run too —
+        # a missing manifest must mean the run never completed
+        RunManifest(args.run_dir).finish(out, summary)
     else:
         summary = {
             "mode": "full",

@@ -183,6 +183,16 @@ def test_curation_run_manifest_persists_guard_metrics(spark, tmp_path):
     assert on2["summary"]["guard"]["max_oversized_bucket"] is None
     assert s2["n_output"] > 0
 
+    # guard OFF: the run must still complete and commit its manifest
+    # (no Observation is ever attached -> no telemetry, not a crash)
+    off_dir = str(tmp_path / "guard_off")
+    s3 = curation_run(_mixed_docs(spark), off_dir, max_bucket_size=None)
+    on3 = json.load(open(os.path.join(off_dir, "manifest.json")))
+    assert on3["status"] == "complete"
+    assert on3["summary"]["guard"]["max_bucket_size"] is None
+    assert on3["summary"]["guard"]["star_candidate_rows"] == 0
+    assert s3["n_output"] == s2["n_output"]
+
 
 def test_simhash_guard_bit_compatible_and_bounded(spark):
     docs = _mixed_docs(spark)

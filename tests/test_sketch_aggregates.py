@@ -122,3 +122,31 @@ def test_hll_union_matches_exact_distincts(spark):
     # (users appear in several types) — proving it merged, not added
     per_type_sum = sum(v for k, v in exact.items() if k != "ALL")
     assert approx["ALL"] < 0.9 * per_type_sum
+
+
+def test_stratified_sample_independent_of_hash_split(spark):
+    """The sampling key is SALTED, so sampling is independent of
+    hash_split's unsalted key: a 20% sample must still populate the val
+    and test tail splits at ~5% each (with a shared key, every sampled
+    row would sort into the train range and the tails would be EMPTY)."""
+    from pyspark.sql import functions as F
+
+    from adaptive_pdf_extractor_spark.operators import stats
+
+    df = spark.range(20000).select(
+        F.col("id"), F.lit("a").alias("stratum")
+    )
+    sampled = stats.stratified_hash_sample(df, "id", "stratum", {"a": 0.2})
+    n = sampled.count()
+    assert 0.17 * 20000 <= n <= 0.23 * 20000
+    splits = {
+        r["split"]: r["c"]
+        for r in stats.hash_split(
+            sampled, "id", {"train": 0.9, "val": 0.05, "test": 0.05}
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert splits.get("val", 0) > 0.02 * n
+    assert splits.get("test", 0) > 0.02 * n

@@ -290,7 +290,10 @@ def test_token_ngram_keys_match_python_reference(spark):
     ws = "\t\n\x0b\f\r "
 
     def ref(text: str) -> list[str]:
-        cleaned = re.sub(rf"^[{ws}]+|[{ws}]+$", "", text.lower())
+        folded = text.translate(str.maketrans(
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+        ))  # ASCII fold, mirroring token_ngram_keys' translate
+        cleaned = re.sub(rf"^[{ws}]+|[{ws}]+$", "", folded)
         toks = re.split(rf"[{ws}]+", cleaned) if cleaned else []
         if len(toks) < n:
             return []
