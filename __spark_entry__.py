@@ -808,6 +808,19 @@ def q_approx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scores over the documents table —
+    the CCNet/RefinedWeb perplexity-filtering signal (corpus-trained
+    add-one-smoothed bigram LM, vocabulary capped at 500 with <unk>
+    mapping). Exact integer counts into one IEEE ln per bigram and one
+    avg — fully oracled at round(6)."""
+    from adaptive_pdf_extractor_spark.operators import stats
+
+    return stats.bigram_lm_scores(
+        _docs(spark, sf_dir), "doc_id", "text", vocab_size=500
+    )
+
+
 def q_tf_idf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document (docs < 100): the keyword/relevance
     leg of the text-analytics surface. Exact integer counts into one IEEE
@@ -1197,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q_top_terms,
         "approx_top_terms": q_approx_top_terms,
         "tf_idf_terms": q_tf_idf_terms,
+        "lm_quality": q_lm_quality,
         "media_features": q_media_features,
         "embedding_knn_join": q_embedding_knn_join,
         "embedding_knn_join_ivf": q_embedding_knn_join_ivf,
@@ -1972,6 +1986,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, round(s, 6) AS score, rk
             FROM scored WHERE rk <= 5
+        """,
+        "lm_quality": f"""
+            WITH tk AS (
+                SELECT doc_id,
+                       unnest(generate_series(1, len(ts))) AS pos,
+                       unnest(ts) AS t
+                FROM (SELECT doc_id,
+                             regexp_extract_all(trim(text),
+                                 '[^{_SQL_WS}]+') AS ts
+                      FROM documents)
+            ),
+            toks AS (SELECT doc_id, pos,
+                            translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                      'abcdefghijklmnopqrstuvwxyz') AS term
+                     FROM tk),
+            vocab AS (SELECT term FROM (
+                          SELECT term, count(*) AS n FROM toks GROUP BY 1
+                          ORDER BY n DESC, term ASC LIMIT 500)),
+            mapped AS (SELECT doc_id, pos,
+                              CASE WHEN term IN (SELECT term FROM vocab)
+                                   THEN term ELSE '<unk>' END AS w
+                       FROM toks),
+            big AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+                    FROM mapped a JOIN mapped b
+                      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            cbt AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+            cut AS (SELECT w1, sum(cb) AS cu FROM cbt GROUP BY 1),
+            v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vt
+                  FROM mapped),
+            s AS (SELECT big.doc_id, count(*) AS n_bigrams,
+                         round(avg(ln((cbt.cb + 1.0) / (cut.cu + v.vt))),
+                               6) AS avg_logprob
+                  FROM big JOIN cbt USING (w1, w2) JOIN cut USING (w1)
+                  CROSS JOIN v
+                  GROUP BY big.doc_id)
+            SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+                   s.avg_logprob
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         "top_terms": f"""
             SELECT term, n FROM (

@@ -233,6 +233,84 @@ def approx_top_terms(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 1000,
+    unk: str = "<unk>",
+) -> DataFrame:
+    """Per-document bigram language-model score — the CCNet/RefinedWeb
+    quality-filtering signal (docs whose token transitions are unlikely
+    under the corpus's own LM are boilerplate/gibberish/navigation spam):
+    ``avg_logprob`` = mean over the doc's bigrams of
+    ``ln((c(w1,w2) + 1) / (c(w1·) + V))`` — add-one smoothing over the
+    corpus-trained bigram table; perplexity = exp(-avg_logprob).
+
+    Vocabulary is capped to the top ``vocab_size`` case-folded tokens
+    (count desc, term asc — deterministic); everything else maps to
+    ``unk`` BEFORE counting, which is what bounds the bigram table at
+    web scale (≤ V² types regardless of corpus size; compose with
+    :func:`approx_top_terms` when even the unigram count can't shuffle).
+    Everything is exact integer counts into one IEEE ln per bigram and
+    one avg — fully DuckDB-oracle-able at round(6).
+
+    Plan shape: posexplode (narrow) -> broadcast vocab map -> bigrams by
+    (doc, pos+1) self-join -> two hash aggs (bigram / context counts,
+    V²-bounded) -> count joins -> per-doc avg. Docs with fewer than two
+    tokens keep a row with ``n_bigrams`` 0 and a null score."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+    ).select("doc_id", "pos", ascii_fold(F.col("t")).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(True).alias("_v"))
+    )
+    mapped = toks.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id",
+        "pos",
+        F.when(F.col("_v"), F.col("term")).otherwise(F.lit(unk)).alias("w"),
+    )
+    a = mapped.select("doc_id", F.col("pos").alias("p"), F.col("w").alias("w1"))
+    b = mapped.select(
+        "doc_id", (F.col("pos") - 1).alias("p"), F.col("w").alias("w2")
+    )
+    big = a.join(b, ["doc_id", "p"])
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cu = cb.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    # V rides the plan as a broadcast 1-row cross join (lazy, single
+    # plan — the tf_idf N pattern): distinct mapped token types incl. unk
+    vtypes = mapped.select(
+        F.countDistinct("w").cast("double").alias("_vt")
+    )
+    logp = F.log(
+        (F.col("cb") + 1.0) / (F.col("cu").cast("double") + F.col("_vt"))
+    )
+    scores = (
+        big.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(vtypes))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )
+
+
 def top_terms(
     df: DataFrame, text_col: str, k: int = 50, min_len: int = 1
 ) -> DataFrame:

@@ -150,3 +150,28 @@ def test_stratified_sample_independent_of_hash_split(spark):
     }
     assert splits.get("val", 0) > 0.02 * n
     assert splits.get("test", 0) > 0.02 * n
+
+
+def test_bigram_lm_scores_rank_gibberish_low(spark):
+    """The LM quality signal actually signals: documents made of the
+    corpus's dominant phrase score high avg_logprob, a gibberish doc of
+    unique tokens scores markedly lower, and a one-token doc gets the
+    zero-bigram null row."""
+    from pyspark.sql import functions as F
+
+    from adaptive_pdf_extractor_spark.operators import stats
+
+    phrase = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, " ".join([phrase] * 4)) for i in range(20)]
+    rows.append((100, " ".join(f"zx{i}q" for i in range(30))))  # gibberish
+    rows.append((101, "solo"))  # single token -> no bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in stats.bigram_lm_scores(
+            df, "doc_id", "text", vocab_size=50
+        ).collect()
+    }
+    assert got[0]["avg_logprob"] > got[100]["avg_logprob"] + 1.0
+    assert got[101]["n_bigrams"] == 0 and got[101]["avg_logprob"] is None
+    assert got[0]["n_bigrams"] == 4 * 9 - 1
