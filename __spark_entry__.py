@@ -808,6 +808,36 @@ def q_approx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (SURVEY §2 text-quality breadth):
+    duplicate-line fraction over documents wrapped in a deterministic
+    3-line structure (docs with doc_id % 3 == 0 carry a DUPLICATED
+    second line — the corpus has no newlines of its own, the
+    boilerplate_strip planting pattern), and top-bigram coverage over
+    the raw text (repeated word pairs exist naturally in the synthetic
+    prose). Both fully oracled."""
+    from adaptive_pdf_extractor_spark.operators import stats
+
+    d = _docs(spark, sf_dir)
+    head = F.concat(F.col("text"), F.lit("\n"), F.substring("text", 1, 40))
+    wrapped = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(head, F.lit("\n"), F.substring("text", 1, 40)),
+        )
+        .otherwise(F.concat(head, F.lit("\n"), F.substring("text", 41, 40)))
+        .alias("ltext"),
+    )
+    lines = wrapped.select(
+        "doc_id",
+        T.duplicate_line_fraction(F.col("ltext")).alias("dup_line_frac"),
+    )
+    return lines.join(
+        stats.top_bigram_coverage(d, "doc_id", "text"), "doc_id"
+    )
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model quality scores over the documents table —
     the CCNet/RefinedWeb perplexity-filtering signal (corpus-trained
@@ -1211,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_top_terms": q_approx_top_terms,
         "tf_idf_terms": q_tf_idf_terms,
         "lm_quality": q_lm_quality,
+        "doc_repetition": q_doc_repetition,
         "media_features": q_media_features,
         "embedding_knn_join": q_embedding_knn_join,
         "embedding_knn_join_ivf": q_embedding_knn_join_ivf,
@@ -1986,6 +2017,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, round(s, 6) AS score, rk
             FROM scored WHERE rk <= 5
+        """,
+        "doc_repetition": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN text || chr(10) || substr(text, 1, 40)
+                                      || chr(10) || substr(text, 1, 40)
+                            ELSE text || chr(10) || substr(text, 1, 40)
+                                      || chr(10) || substr(text, 41, 40)
+                       END AS ltext
+                FROM documents),
+            lines AS (SELECT doc_id, trim(l) AS tl
+                      FROM (SELECT doc_id,
+                                   unnest(string_split(ltext, chr(10))) AS l
+                            FROM w)
+                      WHERE trim(l) <> ''),
+            lf AS (SELECT doc_id,
+                          round(1.0 - count(DISTINCT tl) * 1.0 / count(*),
+                                4) AS dup_line_frac
+                   FROM lines GROUP BY doc_id),
+            tk AS (SELECT doc_id,
+                          unnest(generate_series(1, len(ts))) AS pos,
+                          unnest(ts) AS t
+                   FROM (SELECT doc_id,
+                                regexp_extract_all(trim(text),
+                                    '[^{_SQL_WS}]+') AS ts
+                         FROM documents)),
+            toks AS (SELECT doc_id, pos,
+                            translate(t, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                      'abcdefghijklmnopqrstuvwxyz') AS w
+                     FROM tk),
+            cb AS (SELECT a.doc_id, a.w AS w1, b.w AS w2, count(*) AS c
+                   FROM toks a JOIN toks b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   GROUP BY 1, 2, 3),
+            mx AS (SELECT doc_id, max(c) AS mc, sum(c) AS ns
+                   FROM cb GROUP BY doc_id)
+            SELECT d.doc_id, lf.dup_line_frac,
+                   coalesce(round(mx.mc * 1.0 / mx.ns, 4), 0.0)
+                       AS top_bigram_frac
+            FROM documents d
+            JOIN lf USING (doc_id)
+            LEFT JOIN mx USING (doc_id)
         """,
         "lm_quality": f"""
             WITH tk AS (

@@ -174,6 +174,23 @@ def token_ngram_keys(col: Column, n: int = 13, width: int = 16) -> Column:
     )
 
 
+def duplicate_line_fraction(col: Column) -> Column:
+    """Fraction of non-empty (trimmed) lines occurring more than once in
+    the document — the Gopher-rules line-repetition signal (navigation
+    lists, template spam and scraper loops duplicate lines; prose does
+    not). Pure Column algebra: ``1 - distinct/total`` over the trimmed
+    non-empty line array; 0.0 for documents with no non-empty lines."""
+    lines = F.filter(
+        F.transform(F.split(col, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        F.round(1.0 - F.size(F.array_distinct(lines)) / n, 4),
+    ).otherwise(F.lit(0.0))
+
+
 def doc_fingerprint(col: Column) -> Column:
     """Deterministic 64-bit document fingerprint: xxhash64 of the
     whitespace-normalized, lowercased text. The canonical exact-dedup key

@@ -311,6 +311,45 @@ def bigram_lm_scores(
     )
 
 
+def top_bigram_coverage(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document fraction of token-bigram slots taken by the MOST
+    FREQUENT bigram — the Gopher-rules top-n-gram repetition signal
+    (keyword-stuffed and generator-looped docs concentrate their bigram
+    mass; prose spreads it). Bounded [0,1]: ``max bigram count / total
+    bigram slots``; documents with fewer than two tokens score 0.0.
+
+    Relational plan (no UDFs): posexplode (narrow) -> (doc, pos+1)
+    self-join -> per-(doc, bigram) hash agg -> per-doc max/sum -> ratio.
+    Exact integer counts into one IEEE divide — fully oracle-able."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "t"),
+    ).select("doc_id", "pos", ascii_fold(F.col("t")).alias("w"))
+    a = toks.select("doc_id", F.col("pos").alias("p"), F.col("w").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("p"), F.col("w").alias("w2")
+    )
+    per_doc = (
+        a.join(b, ["doc_id", "p"])
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_mc"), F.sum("c").alias("_ns"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.round(F.col("_mc") / F.col("_ns"), 4), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def top_terms(
     df: DataFrame, text_col: str, k: int = 50, min_len: int = 1
 ) -> DataFrame:

@@ -226,6 +226,7 @@ def group_textops() -> dict:
         "lang_id_dist",
         "exact_dedup",
         "decontaminate",
+        "lm_quality",
         "embedding_topk",
         "embedding_neardup",
         "embedding_knn_join",

@@ -329,3 +329,35 @@ def test_token_ngram_keys_match_python_reference(spark):
     }
     for i, t in enumerate(texts):
         assert rows[i] == ref(t), (i, t)
+
+
+def test_repetition_metrics_signal(spark):
+    """duplicate_line_fraction and top_bigram_coverage actually separate
+    spam shapes from prose: a doc of repeated lines scores dup-frac near
+    1; a keyword-stuffed doc concentrates its bigram mass; varied prose
+    scores low on both; sub-2-token docs get the 0.0 default."""
+    from adaptive_pdf_extractor_spark.operators import stats
+
+    rows = [
+        (0, "menu\nmenu\nmenu\nmenu"),                       # line spam
+        (1, "buy now " * 20),                                 # bigram stuffing
+        (2, "one two three four five six seven eight nine"),  # varied prose
+        (3, "solo"),                                          # no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lf = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id",
+            T.duplicate_line_fraction(F.col("text")).alias("f"),
+        ).collect()
+    }
+    assert lf[0] == 0.75  # 4 lines, 1 distinct
+    assert lf[2] == 0.0
+    bg = {
+        r["doc_id"]: r["top_bigram_frac"]
+        for r in stats.top_bigram_coverage(df, "doc_id", "text").collect()
+    }
+    assert bg[1] > 0.5      # "now buy"/"buy now" dominate the slots
+    assert bg[2] < 0.2      # every bigram distinct -> 1/8
+    assert bg[3] == 0.0
