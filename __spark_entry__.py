@@ -808,6 +808,29 @@ def q_approx_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (the pre-ship scrub of every training-data
+    pipeline): documents deterministically seeded with planted emails
+    and phone-shaped numbers (the corpus has none of its own) must come
+    back with typed placeholders and untouched prose. Fully oracled —
+    patterns are Java/RE2-identical by construction."""
+    d = _docs(spark, sf_dir)
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-01"),
+            F.lpad(F.pmod("doc_id", F.lit(100)).cast("string"), 2, "0"),
+            F.lit("-4567 today"),
+        ).alias("text"),
+    )
+    return seeded.select(
+        "doc_id", T.redact_pii(F.col("text")).alias("clean")
+    )
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (SURVEY §2 text-quality breadth):
     duplicate-line fraction over documents wrapped in a deterministic
@@ -1242,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_idf_terms": q_tf_idf_terms,
         "lm_quality": q_lm_quality,
         "doc_repetition": q_doc_repetition,
+        "pii_redact": q_pii_redact,
         "media_features": q_media_features,
         "embedding_knn_join": q_embedding_knn_join,
         "embedding_knn_join_ivf": q_embedding_knn_join_ivf,
@@ -2017,6 +2041,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, round(s, 6) AS score, rk
             FROM scored WHERE rk <= 5
+        """,
+        "pii_redact": f"""
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           text || ' contact user' ||
+                           CAST(doc_id AS VARCHAR) ||
+                           '@example.com or +1 555-01' ||
+                           lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+                           '-4567 today',
+                           '{T.PII_EMAIL_PATTERN}', '<email>', 'g'),
+                       '{T.PII_PHONE_PATTERN}', '<phone>', 'g') AS clean
+            FROM documents
         """,
         "doc_repetition": f"""
             WITH w AS (

@@ -174,6 +174,32 @@ def token_ngram_keys(col: Column, n: int = 13, width: int = 16) -> Column:
     )
 
 
+# PII patterns constrained to constructs with IDENTICAL semantics in Java
+# regex and RE2 (the BPE_TOKEN_PATTERN discipline) so the DuckDB oracle
+# reproduces every replacement byte-for-byte: character classes, bounded
+# repetition, \b word boundaries — no lookaround, no backrefs.
+PII_EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# leading boundary is (\+|\b), NOT \b\+?: there is no word boundary
+# between a space and '+', so \b\+? can never consume a leading plus
+PII_PHONE_PATTERN = (
+    r"(?:\+|\b)[0-9]{1,3}[-. ]?\(?[0-9]{2,4}\)?[-. ]?"
+    r"[0-9]{3,5}[-. ]?[0-9]{4}\b"
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace email addresses and phone-shaped number runs with typed
+    placeholder tokens (``<email>`` / ``<phone>``) — the standard PII
+    scrub a training-data pipeline applies before anything ships.
+    Deliberately conservative patterns (high precision over recall — a
+    missed phone is recoverable policy-side, a mangled legitimate number
+    corrupts training text), engine-portable by construction; emails
+    redact FIRST so digits inside an address can't be half-eaten by the
+    phone pass."""
+    emails = F.regexp_replace(col, PII_EMAIL_PATTERN, "<email>")
+    return F.regexp_replace(emails, PII_PHONE_PATTERN, "<phone>")
+
+
 def duplicate_line_fraction(col: Column) -> Column:
     """Fraction of non-empty (trimmed) lines occurring more than once in
     the document — the Gopher-rules line-repetition signal (navigation

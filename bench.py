@@ -227,6 +227,7 @@ def group_textops() -> dict:
         "exact_dedup",
         "decontaminate",
         "lm_quality",
+        "doc_repetition",
         "embedding_topk",
         "embedding_neardup",
         "embedding_knn_join",

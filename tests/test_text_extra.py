@@ -361,3 +361,26 @@ def test_repetition_metrics_signal(spark):
     assert bg[1] > 0.5      # "now buy"/"buy now" dominate the slots
     assert bg[2] < 0.2      # every bigram distinct -> 1/8
     assert bg[3] == 0.0
+
+
+def test_redact_pii_precision(spark):
+    """redact_pii: emails and phone-shaped runs become typed tokens;
+    bare small numbers, version strings and prose digits are NOT touched
+    (precision-over-recall contract)."""
+    rows = [
+        (0, "mail a.b+tag@sub.example.org now"),
+        (1, "call +55 (11) 98765-4321 or 555-0123-4567"),
+        (2, "v2.3 has 12345 users and spark 4.1.2"),
+        (3, "edge user@example.com."),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", T.redact_pii(F.col("text")).alias("c")
+        ).collect()
+    }
+    assert got[0] == "mail <email> now"
+    assert got[1] == "call <phone> or <phone>"
+    assert got[2] == "v2.3 has 12345 users and spark 4.1.2"
+    assert got[3] == "edge <email>."
