@@ -228,6 +228,7 @@ def group_textops() -> dict:
         "decontaminate",
         "lm_quality",
         "doc_repetition",
+        "pii_redact",
         "embedding_topk",
         "embedding_neardup",
         "embedding_knn_join",
