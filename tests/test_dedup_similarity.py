@@ -881,3 +881,40 @@ def test_gram_bloom_no_false_negatives_and_fpr():
     # empty-key edge: nothing is ever a member
     bits0, k0, m0 = build_gram_bloom([], fpr=1e-3)
     assert not bloom_contains(np, bits0, k0, m0, others[:100]).any()
+
+
+def test_curate_increment_transitive_taint(spark):
+    """A new doc connected to the old corpus only THROUGH another new doc
+    (chain old-A ~ new-B ~ new-C, no direct A~C pair) must also drop:
+    full re-curation folds the whole chain under A, and the incremental
+    taint propagates through new-new components, not just direct
+    new-old edges."""
+    from adaptive_pdf_extractor_spark.plans.curation import curate_increment
+
+    w = [f"tok{i:03d}" for i in range(100)]
+    # quality gate needs stopwords + sane lengths — pad with common words
+    def mk(words):
+        return " ".join(
+            x for pair in zip(words, ["the", "of", "is", "to", "and"] * 40)
+            for x in pair
+        )
+
+    a_txt, b_txt, c_txt = mk(w[0:60]), mk(w[20:80]), mk(w[40:100])
+    thr = 0.45
+    trio = spark.createDataFrame(
+        [(1, a_txt), (500, b_txt), (600, c_txt)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            trio, "doc_id", "text", shingle_n=5, threshold=thr
+        ).collect()
+    }
+    # the construction really is a chain: A~B, B~C, NOT A~C
+    assert (1, 500) in pairs and (500, 600) in pairs
+    assert (1, 600) not in pairs
+
+    old = trio.filter(F.col("doc_id") == 1)
+    new = trio.filter(F.col("doc_id") > 1)
+    kept = curate_increment(new, old, threshold=thr).collect()
+    assert kept == []  # B direct-tainted, C transitively tainted
