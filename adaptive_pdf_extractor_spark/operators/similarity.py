@@ -547,6 +547,59 @@ def knn_join(
     )
 
 
+def _bucket_cosine_pairs_fn(threshold: float):
+    """Per-bucket all-pairs cosine scoring for ``applyInPandas`` over
+    (tab, bucket) groups: the group's vectors stack into one matrix, the
+    pair dots run as blocked BLAS matmuls (row blocks bound memory for
+    deep buckets), and ONLY pairs with cosine >= threshold are emitted —
+    so output volume is survivor-scaled, never O(m²) rows. Rows are
+    sorted by id first, so the upper triangle gives id_a < id_b (UTF-8
+    byte order == code-point order, matching Spark's string ordering).
+    Zero-norm vectors are masked out (the Column path's try_divide gives
+    them a NULL cosine, which the threshold filter drops — identical)."""
+    import numpy as np
+
+    import pandas as pd
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "_cos": []})
+        if m < 2:
+            return empty
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        x = np.array(list(pdf["vec"]), dtype=np.float64)
+        nrm = np.sqrt((x * x).sum(axis=1))
+        ok = nrm != 0.0
+        out_a, out_b, out_c = [], [], []
+        # row-blocked upper-triangle scan: block x m dots per matmul
+        block = max(1, min(2048, 8_000_000 // m))
+        for s in range(0, m - 1, block):
+            e = min(s + block, m - 1)
+            dots = x[s:e] @ x.T  # (e-s) x m
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (nrm[s:e, None] * nrm[None, :])
+            # mask: j > i (upper triangle), both norms nonzero, >= threshold
+            jj = np.arange(m)[None, :]
+            ii = np.arange(s, e)[:, None]
+            keep = (
+                (jj > ii)
+                & ok[None, :]
+                & ok[s:e, None]
+                & (cos >= threshold)
+            )
+            ai, bj = np.nonzero(keep)
+            if len(ai):
+                out_a.extend(ids[ai + s].tolist())
+                out_b.extend(ids[bj].tolist())
+                out_c.extend(cos[ai, bj].tolist())
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "_cos": out_c})
+
+    return score
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -566,26 +619,109 @@ def embedding_neardup_pairs(
     * ``n_planes>0`` — LSH-bucketed: pairs are candidates iff they share a
       sign-bucket in at least one of ``n_tables`` independent hyperplane
       tables (OR-amplification, the cosine analog of minhash banding:
-      recall = 1-(1-p^planes)^tables with p = 1 - angle/pi). Candidates are
-      deduped as bare (id_a, id_b) BEFORE vectors join back for the exact
-      cosine verification — the 100 TB path: no vector payload rides the
-      bucket shuffle.
+      recall = 1-(1-p^planes)^tables with p = 1 - angle/pi). Candidates
+      are scored IN THEIR BUCKET: each (table, bucket) group stacks its
+      vectors once and runs blocked numpy matmuls, emitting only pairs
+      that clear the threshold; per-pair duplicates across buckets
+      collapse in a final (id_a, id_b) aggregate. This replaces the
+      round-5 form (bare-id candidate pairs -> distinct -> two-sided
+      vector join -> interpreted per-pair dot folds), which was
+      candidate-PAIR-scaled: with b-bit buckets the candidate set is
+      quadratic in bucket density (measured 92.7M pairs for 100k vectors
+      at 8 planes — 26 s to dedupe and ~130 s of interpreted dots), while
+      the bucket shuffle here carries each vector exactly n_tables times
+      (corpus-LINEAR payload) and the scoring is one BLAS pass per
+      bucket. Guide §2.3/§4.2: shuffle the linear thing, batch the math.
 
     ``max_bucket_size`` is the mega-cluster guard (same contract as
     ``dedup.minhash_lsh_pairs_from_sigs``): a sign bucket larger than the
     cap emits star candidates (bucket-min -> member) instead of O(m²)
     all-pairs — a cluster of m near-identical embeddings otherwise floods
-    the bucket self-join. Star candidates still pass the exact cosine
+    the bucket scoring. Star candidates carry the bucket-min's vector via
+    a struct-min window (no join back) and still pass the exact cosine
     verification, so no false pair is ever added; ``observation`` receives
-    ``star_candidate_rows`` / ``max_oversized_bucket``.
-    """
-    # Norms are hoisted out of the O(pairs) loop: computed once per row
-    # (same fold order as inline, so the float result — and the DuckDB
-    # oracle match — is bit-identical), pairs then cost one dot product.
+    ``star_candidate_rows`` / ``max_oversized_bucket``. Under-cap buckets
+    score bit-identically to the unguarded path (same kernel, same
+    groups — pinned in tests)."""
     # _spread first: a small parquet input arrives as ONE partition and
     # would run the bucket matmul / pair dots on a single core.
     from .dedup import _spread
 
+    if n_planes > 0:
+        base = _spread(df).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        if dim is None:
+            dim = len(base.first()["vec"])
+        id_type = base.schema["id"].dataType.simpleString()
+        out_schema = f"id_a {id_type}, id_b {id_type}, _cos double"
+        bucket_udf = lsh_table_buckets_np(
+            [hyperplanes(dim, n_planes, seed + 101 * t) for t in range(n_tables)]
+        )
+        buck = base.select(
+            "id",
+            "vec",
+            F.posexplode(bucket_udf(F.col("vec"))).alias("tab", "bucket"),
+        )
+        score_fn = _bucket_cosine_pairs_fn(threshold)
+        if max_bucket_size is not None:
+            from pyspark.sql.window import Window
+
+            # struct-min carries the bucket-min's VECTOR atomically with
+            # its id (struct ordering compares id first — ids are unique,
+            # the vec field never compares), so star edges score without
+            # a join back to the corpus (the simhash guard's trick).
+            wb = Window.partitionBy("tab", "bucket")
+            sized = buck.withColumn("_bsz", F.count("*").over(wb)).withColumn(
+                "_bmin", F.min(F.struct("id", "vec")).over(wb)
+            )
+            small = sized.filter(F.col("_bsz") <= max_bucket_size).select(
+                "id", "vec", "tab", "bucket"
+            )
+            small_scored = small.groupBy("tab", "bucket").applyInPandas(
+                score_fn, schema=out_schema
+            )
+            big = sized.filter(
+                (F.col("_bsz") > max_bucket_size)
+                & (F.col("id") != F.col("_bmin.id"))
+            ).select(
+                F.col("_bmin.id").alias("id_a"),
+                F.col("_bmin.vec").alias("vec_a"),
+                F.col("id").alias("id_b"),
+                F.col("vec").alias("vec_b"),
+                "_bsz",
+            )
+            if observation is not None:
+                big = big.observe(
+                    observation,
+                    F.count("*").alias("star_candidate_rows"),
+                    F.max("_bsz").alias("max_oversized_bucket"),
+                )
+            star_scored = (
+                big.withColumn(
+                    "_cos", cosine_pairs_np()(F.col("vec_a"), F.col("vec_b"))
+                )
+                .filter(F.col("_cos") >= threshold)
+                .select("id_a", "id_b", "_cos")
+            )
+            scored = small_scored.unionByName(star_scored)
+        else:
+            scored = buck.groupBy("tab", "bucket").applyInPandas(
+                score_fn, schema=out_schema
+            )
+        # the same pair can surface in several buckets (and as both a
+        # small pair and a star edge under the guard); one aggregate
+        # collapses it — max is a deterministic pick should the BLAS
+        # block shape ever wiggle the last ulp between occurrences
+        return (
+            scored.groupBy("id_a", "id_b")
+            .agg(F.max("_cos").alias("_cos"))
+            .select("id_a", "id_b", F.round(F.col("_cos"), 6).alias("cosine"))
+        )
+
+    # exact path (the oracle twin) — unchanged: hoisted norms, one
+    # interpreted dot per pair, threshold pre-rounding (= the DuckDB SQL).
     base = _spread(df).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -596,59 +732,7 @@ def embedding_neardup_pairs(
     xb = base.select(
         F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b")
     )
-    if n_planes > 0:
-        if dim is None:
-            dim = len(base.first()["vec"])
-        bucket_udf = lsh_table_buckets_np(
-            [hyperplanes(dim, n_planes, seed + 101 * t) for t in range(n_tables)]
-        )
-        buck = base.select(
-            "id", F.posexplode(bucket_udf(F.col("vec"))).alias("tab", "bucket")
-        )
-        if max_bucket_size is not None:
-            from pyspark.sql.window import Window
-
-            wb = Window.partitionBy("tab", "bucket")
-            sized = buck.withColumn("_bsz", F.count("*").over(wb)).withColumn(
-                "_bmin", F.min("id").over(wb)
-            )
-            small = sized.filter(F.col("_bsz") <= max_bucket_size).select(
-                "id", "tab", "bucket"
-            )
-            small_pairs = (
-                small.alias("x")
-                .join(small.alias("y"), ["tab", "bucket"])
-                .filter(F.col("x.id") < F.col("y.id"))
-                .select(
-                    F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
-                )
-            )
-            big = sized.filter(
-                (F.col("_bsz") > max_bucket_size)
-                & (F.col("id") != F.col("_bmin"))
-            ).select(
-                F.col("_bmin").alias("id_a"), F.col("id").alias("id_b"), "_bsz"
-            )
-            if observation is not None:
-                big = big.observe(
-                    observation,
-                    F.count("*").alias("star_candidate_rows"),
-                    F.max("_bsz").alias("max_oversized_bucket"),
-                )
-            cand = small_pairs.unionByName(big.drop("_bsz")).distinct()
-        else:
-            cand = (
-                buck.alias("x")
-                .join(buck.alias("y"), ["tab", "bucket"])
-                .filter(F.col("x.id") < F.col("y.id"))
-                .select(
-                    F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b")
-                )
-                .distinct()
-            )
-        joined = cand.join(xa, "id_a").join(xb, "id_b")
-    else:
-        joined = xa.crossJoin(xb).filter(F.col("id_a") < F.col("id_b"))
+    joined = xa.crossJoin(xb).filter(F.col("id_a") < F.col("id_b"))
     cos = F.try_divide(
         _dot(F.col("vec_a"), F.col("vec_b")), F.col("nrm_a") * F.col("nrm_b")
     )
