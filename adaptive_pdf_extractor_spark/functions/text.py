@@ -134,14 +134,44 @@ def lang_id(col: Column) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and pass it to ``fn`` as a bound
+    lambda variable. Interpreted higher-order lambdas re-evaluate every
+    captured OUTER expression per element (no common-subexpression
+    elimination inside a lambda body), so e.g. ``lower(text)`` referenced
+    inside a per-position ``transform`` costs O(len) per element — O(len²)
+    per row. Binding through a one-element array transform turns the
+    capture into a slot read: measured 39.1s -> 1.1s for 5-gram shingling
+    of 50k documents (sf1.0). Plain column references are already slots
+    and don't need this."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+def char_grams_all(col: Column, n: int) -> Column:
+    """EVERY position n-gram of the lowercased text, in order, duplicates
+    kept — one codegen'd ``regexp_extract_all`` pass with an overlapping
+    lookahead (``(?s)(?=(.{n})).``: capture n chars, consume one), instead
+    of a per-position interpreted ``transform`` lambda. The round-5
+    sequence+transform+substr formulation re-evaluated the captured
+    ``lower(text)`` per position — O(len²) per row, measured 38.9 s for
+    one 50k-doc shingling pass at sf1.0; this form measures 0.8 s with
+    identical output. Texts shorter than ``n`` yield their whole
+    (lowercased) text as the single gram, "" and NULL propagate as [""] /
+    [NULL] — exactly the old ``greatest(len-(n-1), 1)`` + over-long
+    ``substr`` edge behavior."""
+    low = F.lower(col)
+    pat = "(?s)(?=(." + "{" + str(n) + "}))."
+    return F.when(
+        F.length(low) >= n, F.regexp_extract_all(low, F.lit(pat), 1)
+    ).otherwise(F.array(low))
+
+
 def char_ngrams(col: Column, n: int = 5) -> Column:
     """Distinct character n-grams (shingles) of the lowercased text —
-    the dedup primitive. JVM-side: sequence + transform + substring."""
-    lowered = F.lower(col)
-    length = F.length(lowered)
-    idx = F.sequence(F.lit(1), F.greatest(length - (n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: lowered.substr(i, F.lit(n)))
-    return F.array_distinct(grams)
+    the dedup primitive. One regex pass (:func:`char_grams_all`) + one
+    distinct; no lambdas, so the result is safe as a pandas-UDF input
+    (see :func:`_bind` for why that matters)."""
+    return F.array_distinct(char_grams_all(col, n))
 
 
 def token_ngram_keys(col: Column, n: int = 13, width: int = 16) -> Column:
@@ -161,7 +191,15 @@ def token_ngram_keys(col: Column, n: int = 13, width: int = 16) -> Column:
         "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
         "abcdefghijklmnopqrstuvwxyz",
     )
-    toks = tokens(folded)
+    # toks enters as a bound lambda variable (slot read) — as a captured
+    # expression the whole tokenization re-ran per gram position
+    return _bind(tokens(folded), lambda t: _token_ngram_keys_of(t, n, width))
+
+
+def _token_ngram_keys_of(toks: Column, n: int, width: int) -> Column:
+    """Gram-key expression over an already-computed token array — the ONE
+    body both the bound fast path and the unbound pandas-UDF-safe variant
+    share, so their keys can never diverge."""
     n_grams = F.size(toks) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),
@@ -172,6 +210,25 @@ def token_ngram_keys(col: Column, n: int = 13, width: int = 16) -> Column:
     return F.when(n_grams >= 1, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def token_ngram_keys_unbound(
+    col: Column, n: int = 13, width: int = 16
+) -> Column:
+    """:func:`token_ngram_keys` WITHOUT the :func:`_bind` hoist (the
+    tokenization is a captured expression, re-evaluated per gram — the
+    round-5 formulation). Required where the gram array feeds a pandas
+    UDF DIRECTLY (streaming_decontaminate's membership kernel): a
+    PythonUDF whose input carries nested lambdas silently skips
+    ExtractPythonUDFs on every query after a session's first (see
+    :func:`_gram_hashes`). Identical keys by construction (shared
+    :func:`_token_ngram_keys_of` body)."""
+    folded = F.translate(
+        col,
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "abcdefghijklmnopqrstuvwxyz",
+    )
+    return _token_ngram_keys_of(tokens(folded), n, width)
 
 
 # PII patterns constrained to constructs with IDENTICAL semantics in Java
@@ -242,15 +299,14 @@ def bpe_token_count(col: Column) -> Column:
 
 
 def _gram_hashes(col: Column, k: int) -> Column:
-    """xxhash64 of every k-gram position of the lowercased text (one
-    interpreted transform pass — the same per-element JVM hashing the
-    minhash path pays; see operators/dedup.py)."""
-    lowered = F.lower(col)
-    n_grams = F.greatest(F.length(lowered) - (k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.xxhash64(lowered.substr(i, F.lit(k))),
-    )
+    """xxhash64 of every k-gram position of the lowercased text: one
+    codegen'd regex gram pass (:func:`char_grams_all`) + one single-level
+    hashing transform. Single-level matters beyond speed — this array
+    feeds a pandas UDF directly (winnowing_fingerprints), and a PythonUDF
+    whose input carries NESTED lambdas (the :func:`_bind` shape) silently
+    skips ExtractPythonUDFs on every query after a session's first —
+    [INTERNAL_ERROR] Cannot evaluate expression (reproduced on 4.1)."""
+    return F.transform(char_grams_all(col, k), lambda g: F.xxhash64(g))
 
 
 def winnowing_minima_np(window: int):
@@ -305,13 +361,15 @@ def winnowing_fingerprints_columns(
     Column algebra: window minima via an interpreted transform over an
     index sequence. Kept as the executable spec the fast path is pinned
     against — do not use in the hot path."""
-    gram_hashes = _gram_hashes(col, k)
-    n_windows = F.greatest(F.size(gram_hashes) - (window - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda w: F.array_min(F.slice(gram_hashes, w, window)),
-    )
-    return F.array_sort(F.array_distinct(mins))
+    def mins_of(gram_hashes: Column) -> Column:
+        n_windows = F.greatest(F.size(gram_hashes) - (window - 1), F.lit(1))
+        mins = F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda w: F.array_min(F.slice(gram_hashes, w, window)),
+        )
+        return F.array_sort(F.array_distinct(mins))
+
+    return _bind(_gram_hashes(col, k), mins_of)
 
 
 def _gram_md5_hex(col: Column, k: int, width: int = 16) -> Column:
@@ -320,12 +378,12 @@ def _gram_md5_hex(col: Column, k: int, width: int = 16) -> Column:
     :func:`_gram_hashes`). Lexicographic order on fixed-length lowercase
     hex IS numeric order, identical in every engine — the same trick
     operators/stats.hash_split uses — which makes window MINIMA over these
-    strings ANSI-reproducible where xxhash64 minima are not."""
-    lowered = F.lower(col)
-    n_grams = F.greatest(F.length(lowered) - (k - 1), F.lit(1))
+    strings ANSI-reproducible where xxhash64 minima are not. Same
+    regex-gram + single-level-transform shape as :func:`_gram_hashes`
+    (this array feeds winnowing_fingerprints_md5's pandas UDF)."""
     return F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.substring(F.md5(lowered.substr(i, F.lit(k))), 1, width),
+        char_grams_all(col, k),
+        lambda g: F.substring(F.md5(g), 1, width),
     )
 
 
@@ -397,13 +455,16 @@ def winnowing_fingerprints_md5_columns(
 ) -> Column:
     """Column-algebra executable spec of :func:`winnowing_fingerprints_md5`
     (interpreted; pin target only — do not use in the hot path)."""
-    gram_hashes = _gram_md5_hex(col, k, width)
-    n_windows = F.greatest(F.size(gram_hashes) - (window - 1), F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(1), n_windows),
-        lambda w: F.array_min(F.slice(gram_hashes, w, window)),
-    )
-    return F.array_sort(F.array_distinct(mins))
+
+    def mins_of(gram_hashes: Column) -> Column:
+        n_windows = F.greatest(F.size(gram_hashes) - (window - 1), F.lit(1))
+        mins = F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda w: F.array_min(F.slice(gram_hashes, w, window)),
+        )
+        return F.array_sort(F.array_distinct(mins))
+
+    return _bind(_gram_md5_hex(col, k, width), mins_of)
 
 
 def doc_fingerprint_md5(col: Column) -> Column:

@@ -157,6 +157,28 @@ def _shingled(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> Data
     ).filter(F.size("shingles") > 0)
 
 
+def _position_gram_hashes(col: Column, n: int, hash_fn) -> Column:
+    """Per-position n-gram hashes of the text column: one codegen'd regex
+    gram pass (functions.text.char_grams_all) + one SINGLE-LEVEL hashing
+    transform. Two load-bearing properties:
+
+    * No ``array_distinct``: min over a multiset equals min over its
+      distinct set, so every MinHash signature slot is BIT-IDENTICAL with
+      or without deduplication — the distinct was pure cost here.
+    * No nested lambdas: this array is a pandas-UDF input, and a
+      PythonUDF whose input carries nested lambda bindings silently
+      skips ExtractPythonUDFs on every query after a session's first
+      (see functions/text._gram_hashes).
+
+    The round-5 form (interpreted per-position substr over a captured
+    ``lower(text)``) was O(len²) per row — the signature stage measured
+    39.7 s for 50k docs at sf1.0; this form measures ~1 s, signatures
+    bit-identical (verified corpus-wide)."""
+    from ..functions.text import char_grams_all
+
+    return F.transform(char_grams_all(col, n), hash_fn)
+
+
 def minhash_signatures_df(
     df: DataFrame,
     id_col: str,
@@ -168,13 +190,19 @@ def minhash_signatures_df(
     """(id, sig) minhash signature table — the per-corpus one-time cost.
     Materialize/persist this once (a parquet/Iceberg table at scale, the
     streaming state table in micro-batch mode) and feed it to
-    :func:`minhash_lsh_pairs_from_sigs`; only NEW documents ever hash."""
-    base = _shingled(df, id_col, text_col, shingle_n)
+    :func:`minhash_lsh_pairs_from_sigs`; only NEW documents ever hash.
+    Gram hashing is the single-level position-gram pass
+    (:func:`_position_gram_hashes`) — signatures are bit-identical to the
+    shingle-set formulation (min is duplication-invariant), at O(len)
+    instead of O(len²) per row."""
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        _position_gram_hashes(
+            F.col(text_col), shingle_n, lambda g: F.xxhash64(g)
+        ).alias("gh"),
+    ).filter(F.size("gh") > 0)
     sig_udf = minhash_signatures_np(num_hashes)
-    return base.select(
-        "id",
-        sig_udf(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sig"),
-    )
+    return base.select("id", sig_udf(F.col("gh")).alias("sig"))
 
 
 def minhash_signatures_md5_np(num_hashes: int = 128):
@@ -223,17 +251,19 @@ def minhash_signatures_md5_df(
     md5 trilogy: the curation pipeline's core hash math itself sits under
     the driver's hash gate). xxhash64 stays the production fast path;
     band/pair behavior of the two variants on the same corpus is pinned
-    equal in tests."""
-    base = _shingled(df, id_col, text_col, shingle_n)
+    equal in tests. Same single-level position-gram pass as
+    :func:`minhash_signatures_df` (signatures are duplication-invariant
+    — bit-identical to the shingle-set formulation)."""
+    base = _spread(df).select(
+        F.col(id_col).alias("id"),
+        _position_gram_hashes(
+            F.col(text_col),
+            shingle_n,
+            lambda g: F.substring(F.md5(g), 1, 16),
+        ).alias("gh"),
+    ).filter(F.size("gh") > 0)
     sig_udf = minhash_signatures_md5_np(num_hashes)
-    return base.select(
-        "id",
-        sig_udf(
-            F.transform(
-                "shingles", lambda s: F.substring(F.md5(s), 1, 16)
-            )
-        ).alias("sig"),
-    )
+    return base.select("id", sig_udf(F.col("gh")).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -451,6 +481,7 @@ def minhash_lsh_pairs_from_sigs(
     persist_sigs: bool = True,
     max_bucket_size: int | None = None,
     observation=None,
+    prune_verify: bool | None = None,
 ) -> DataFrame:
     """LSH pair stage over a PRECOMPUTED signature table ``sigs_df``
     (columns ``id``, ``sig``): banding, the >=2-band cut, and the
@@ -458,6 +489,19 @@ def minhash_lsh_pairs_from_sigs(
     JVM projection) only for the exact-Jaccard check, hash-joined against
     the few surviving pairs. The incremental / streaming path: signatures
     persist, only new docs ever hash.
+
+    ``prune_verify`` (default: follow ``persist_sigs``): semi-join the
+    verification docs down to candidate endpoint ids before the shingle
+    projection. Shingling is the dominant per-doc cost (measured 38.9 s
+    for 50k docs at sf1.0 — interpreted per-position substr +
+    array_distinct), and candidates are usually a tiny fraction of the
+    corpus (2,544 pairs of 50k docs there), so the un-pruned verify paid
+    a full second corpus shingling for rows the join immediately
+    dropped. The prune requires the candidate set to exist first
+    (persist + one eager count at plan build — the same fan-out-race
+    rationale as the guarded signature cache below); streaming callers
+    pass ``persist_sigs=False`` and keep the fully lazy single-action
+    plan, managing caching themselves.
 
     ``persist_sigs=False`` for callers that manage the signature frame's
     caching themselves (the streaming loop persists per micro-batch and
@@ -634,17 +678,35 @@ def minhash_lsh_pairs_from_sigs(
         .select("id_a", "id_b")
     )
 
-    # Exact verification: ONE evaluation of the shingled corpus. (Two
-    # earlier formulations both lose: a semi-join pre-prune of docs by
-    # candidate ids re-evaluates the banding/prefilter subtree before its
-    # cache populates — measured 1.6x slower end-to-end; and the
+    # Exact verification: ONE evaluation of the shingled docs, pruned to
+    # candidate endpoints when the candidate set is materialized. (Two
+    # earlier formulations both lose: a LAZY semi-join pre-prune of docs
+    # by candidate ids re-evaluates the banding/prefilter subtree before
+    # its cache populates — measured 1.6x slower end-to-end, which is
+    # why the prune below materializes the pairs eagerly first; and the
     # two-sided a ⋈ b join embeds the shingle subtree TWICE in the plan,
     # computing it twice per action — measured ~10% of the warm stage
     # and 3x of the cold one at 5k docs. Exploding each pair to one row
     # per endpoint joins the shingled docs ONCE and regroups; the
     # regroup shuffle carries candidate-scaled shingle arrays only, and
     # intersect/union are symmetric so the jaccard is unchanged.)
-    cbase = _shingled(docs, id_col, text_col, shingle_n)
+    verify_docs = docs
+    if prune_verify is None:
+        prune_verify = persist_sigs
+    if prune_verify:
+        prefiltered = prefiltered.persist()
+        prefiltered.count()  # candidate ids must exist before the prune
+        cand_ids = prefiltered.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)
+        ).distinct()
+        # unconditional full-width repartition: AQE coalesces the tiny
+        # semi-join output to ~1 partition and the interpreted shingle
+        # projection is compute-bound per row (the incremental path's
+        # measured 3.7s-single-core-vs-0.5s-spread trap)
+        verify_docs = docs.join(cand_ids, id_col, "left_semi").repartition(
+            max(docs.sparkSession.sparkContext.defaultParallelism, 8)
+        )
+    cbase = _shingled(verify_docs, id_col, text_col, shingle_n)
     sides = prefiltered.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias("id")
     )

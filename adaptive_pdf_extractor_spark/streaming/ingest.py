@@ -187,7 +187,7 @@ def streaming_decontaminate(
     import pandas as pd
     from pyspark.sql.pandas.functions import pandas_udf
 
-    from ..functions.text import token_ngram_keys
+    from ..functions.text import token_ngram_keys_unbound
     from ..operators.dedup import bloom_contains, build_gram_bloom
 
     sc = docs.sparkSession.sparkContext
@@ -220,8 +220,11 @@ def streaming_decontaminate(
 
     hits.__annotations__ = {"grams": pd.Series, "return": pd.Series}
     hit_udf = pandas_udf("long")(hits)
+    # token_ngram_keys_unbound, NOT token_ngram_keys: this gram array is a
+    # pandas UDF input, where the bound (nested-lambda) form breaks UDF
+    # extraction after a session's first query (see functions/text.py)
     flagged = docs.withColumn(
-        "_n_hit", hit_udf(token_ngram_keys(F.col(text_col), n))
+        "_n_hit", hit_udf(token_ngram_keys_unbound(F.col(text_col), n))
     )
     cond = F.col("_n_hit") >= min_hits
     return flagged.filter(cond if keep_contaminated else ~cond).drop("_n_hit")

@@ -384,3 +384,64 @@ def test_redact_pii_precision(spark):
     assert got[1] == "call <phone> or <phone>"
     assert got[2] == "v2.3 has 12345 users and spark 4.1.2"
     assert got[3] == "edge <email>."
+
+
+def test_pandas_udf_gram_inputs_survive_repeated_queries(spark):
+    """Regression for the round-6 lambda-binding landmine: a pandas UDF
+    whose input expression carries NESTED lambda bindings (the
+    functions.text._bind shape) silently skips Python-UDF extraction on
+    every query after a session's first and dies with [INTERNAL_ERROR]
+    Cannot evaluate expression. Every UDF-feeding gram pipeline must
+    therefore stay single-lambda-level — pinned here by running each one
+    TWICE against freshly-constructed source frames (the exact trigger)
+    and requiring identical results."""
+    from adaptive_pdf_extractor_spark.operators import dedup
+    from adaptive_pdf_extractor_spark.streaming.ingest import (
+        streaming_decontaminate,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def sig_rows():
+        d = spark.read.parquet(f"{sf}/documents.parquet").limit(20)
+        return sorted(
+            (r["id"], tuple(r["sig"]))
+            for r in dedup.minhash_signatures_df(d, "doc_id", "text").collect()
+        )
+
+    assert sig_rows() == sig_rows()
+
+    def md5_sig_rows():
+        d = spark.read.parquet(f"{sf}/documents.parquet").limit(10)
+        return sorted(
+            (r["id"], tuple(r["sig"]))
+            for r in dedup.minhash_signatures_md5_df(
+                d, "doc_id", "text"
+            ).collect()
+        )
+
+    assert md5_sig_rows() == md5_sig_rows()
+
+    def winnow_rows():
+        d = spark.read.parquet(f"{sf}/documents.parquet").limit(10)
+        return sorted(
+            (r["doc_id"], tuple(r["fp"]))
+            for r in d.select(
+                "doc_id",
+                T.winnowing_fingerprints(F.col("text")).alias("fp"),
+            ).collect()
+        )
+
+    assert winnow_rows() == winnow_rows()
+
+    def decon_ids():
+        d = spark.read.parquet(f"{sf}/documents.parquet").limit(20)
+        keys = dedup.decontaminate_keys(
+            d.filter(F.col("doc_id") == 3).select("text"), "text", n=13
+        )
+        return sorted(
+            r["doc_id"]
+            for r in streaming_decontaminate(d, keys, "text").collect()
+        )
+
+    assert decon_ids() == decon_ids()
