@@ -151,10 +151,17 @@ def minhash_signatures_np(num_hashes: int = 128):
 
 
 def _shingled(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    # No size(shingles) > 0 filter: char_ngrams NEVER yields an empty
+    # array (short text -> its whole lowered text as the one gram; "" ->
+    # [""], NULL -> [NULL]), so the filter dropped nothing — but the
+    # optimizer pushed the size(<whole gram expression>) predicate below
+    # every join/repartition to the parquet SCAN, re-evaluating the gram
+    # regex for the full corpus on the scan's 1-2 input splits (measured
+    # 4.5 s vs 0.4 s for a 4.7k-doc pruned verify pass at sf1.0).
     return _spread(df).select(
         F.col(id_col).alias("id"),
         char_ngrams(F.col(text_col), shingle_n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    )
 
 
 def _position_gram_hashes(col: Column, n: int, hash_fn) -> Column:
@@ -195,12 +202,15 @@ def minhash_signatures_df(
     (:func:`_position_gram_hashes`) — signatures are bit-identical to the
     shingle-set formulation (min is duplication-invariant), at O(len)
     instead of O(len²) per row."""
+    # no size(gh) > 0 filter: the gram array is never empty (see
+    # _shingled — and the pushed-to-scan predicate re-ran the gram regex
+    # for the whole corpus on the scan's 1-2 input splits)
     base = _spread(df).select(
         F.col(id_col).alias("id"),
         _position_gram_hashes(
             F.col(text_col), shingle_n, lambda g: F.xxhash64(g)
         ).alias("gh"),
-    ).filter(F.size("gh") > 0)
+    )
     sig_udf = minhash_signatures_np(num_hashes)
     return base.select("id", sig_udf(F.col("gh")).alias("sig"))
 
@@ -261,7 +271,7 @@ def minhash_signatures_md5_df(
             shingle_n,
             lambda g: F.substring(F.md5(g), 1, 16),
         ).alias("gh"),
-    ).filter(F.size("gh") > 0)
+    )
     sig_udf = minhash_signatures_md5_np(num_hashes)
     return base.select("id", sig_udf(F.col("gh")).alias("sig"))
 
@@ -1407,10 +1417,11 @@ def ngram_jaccard_pairs(
     index (explode + equi-join on shingle, count shared, |A∪B| from set
     sizes). Quadratic in the worst case — use on candidate sets or small
     partitions; serves as ground truth for the LSH family."""
+    # no size filter — vacuous and pushdown-hostile, see _shingled
     base = _spread(df).select(
         F.col(id_col).alias("id"),
         char_ngrams(F.col(text_col), shingle_n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    )
     sizes = base.select("id", F.size("shingles").alias("n_sh"))
     inv = base.select("id", F.explode("shingles").alias("sh"))
     shared = (

@@ -39,6 +39,12 @@ def curation_pipeline(
     quality-passing docs sharing ``decon_n``-token n-grams with it are
     dropped before dedup (broadcast membership, anti-join on flagged
     ids; see dedup.decontaminate for the plan shape)."""
+    # Spread before the quality gate: the regex bank is compute-bound per
+    # row and a small parquet input arrives as 1-2 splits (measured 23 s
+    # on 2 cores vs 10.6 s spread for 100k docs at sf1.0 — the same
+    # idle-core trap as dedup._spread, which only kicks in later, inside
+    # the pair stage).
+    docs = dedup._spread(docs)
     scored = docs.withColumn("quality", T.quality_score(F.col("text")))
     kept = scored.filter(F.col("quality") >= 0.5)
     if decontaminate_against is not None:
