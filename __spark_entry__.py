@@ -46,6 +46,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _flagship_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Scale-adaptive flagship partitioning (guide §2): derived from
+    CORPUS SIZE (~500 docs/partition), clamped to [8, 2 x parallelism].
+    The round-5 constant 8 was tuned on sf0.001 (50 docs) and left 24 of
+    32 cores idle through every extraction pass at sf1.0 (measured
+    31.1 s -> 22.7 s scratch at 64 parts), while a bare 2 x parallelism
+    over-schedules tiny corpora (5k docs at 64 parts measured x0.7 vs
+    ~10). One metadata-fast parquet count; output is
+    partition-independent (per-id seeding, hash-sampled mining —
+    A/B-verified row-identical at sf1.0)."""
+    n_docs = _docs(spark, sf_dir).count()
+    return max(
+        8, min(2 * spark.sparkContext.defaultParallelism, n_docs // 500)
+    )
+
+
 def _flagship(
     spark: SparkSession, sf_dir: str, max_rounds: int = 3, fresh: bool = True
 ) -> DataFrame:
@@ -68,8 +84,9 @@ def _flagship(
     # rides along as body (corpus.record_from_text) — the flagship
     # exercises ingestion of driver-provided data, not a row-count-keyed
     # synthetic twin. Derivation runs distributed over the parquet scan.
+    n_parts = _flagship_partitions(spark, sf_dir)
     docs = spark_io.corpus_from_documents_df(
-        _docs(spark, sf_dir), seed=13, corpus="flagship"
+        _docs(spark, sf_dir), seed=13, corpus="flagship", partitions=n_parts
     )
     # stable, reused run dir (a mkdtemp per call leaked snapshot dirs
     # across repeated bench/driver invocations); PID-keyed so two live
@@ -100,12 +117,6 @@ def _flagship(
                 ]
             )
         _FLAGSHIP_CLEANUP_DIRS.add(run_dir)
-    # Scale-adaptive partitioning (guide §2): the old constant 8 was tuned
-    # on sf0.001 (50 docs) and left 24 of 32 cores idle through every
-    # extraction pass at sf1.0 (measured 31.1 s -> 22.7 s scratch at 64).
-    # Output is partition-independent (per-id seeding, hash-sampled
-    # mining; A/B-verified row-identical at sf1.0).
-    n_parts = 2 * max(spark.sparkContext.defaultParallelism, 4)
     pipe = ExtractionPipeline(
         spark,
         run_dir,

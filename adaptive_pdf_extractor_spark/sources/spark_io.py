@@ -89,7 +89,10 @@ def synthetic_corpus_df(
 
 
 def corpus_from_documents_df(
-    docs_df: DataFrame, seed: int, corpus: str = "fromdocs"
+    docs_df: DataFrame,
+    seed: int,
+    corpus: str = "fromdocs",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Span-table corpus derived from a real documents table (columns
     ``doc_id``, ``text``): each row becomes an input record via
@@ -103,9 +106,11 @@ def corpus_from_documents_df(
     lands as 1-2 splits and the per-doc record generation is
     CPU-bound in the Python worker (measured 7.4 s on 2 cores vs 1.6 s
     spread, 50k docs) — the guide §2 idle-core trap. Per-id seeding
-    makes the output independent of partitioning."""
+    makes the output independent of partitioning. ``partitions``
+    overrides the spread target (callers that know the corpus size pass
+    a row-scaled value — tiny corpora over-schedule at 2x parallelism)."""
     sc = docs_df.sparkSession.sparkContext
-    target = 2 * max(sc.defaultParallelism, 4)
+    target = partitions or 2 * max(sc.defaultParallelism, 4)
     if docs_df.rdd.getNumPartitions() < target:
         docs_df = docs_df.repartition(target)
 
