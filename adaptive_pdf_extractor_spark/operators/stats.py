@@ -216,14 +216,22 @@ def approx_top_terms(
     )
 
     def frequent(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # exact per-partition counts via vectorized value_counts summed
-        # across the partition's Arrow batches
-        counts: pd.Series | None = None
-        for pdf in batches:
-            c = pdf["term"].value_counts()
-            counts = c if counts is None else counts.add(c, fill_value=0)
-        if counts is None or counts.empty:
+        # exact per-partition counts via vectorized value_counts: one
+        # Series per Arrow batch, merged with a single concat + groupby
+        # at partition end (the previous per-batch .add(fill_value=0)
+        # re-unioned the growing vocabulary index on every batch —
+        # O(batches x vocab) index work for the same exact counts)
+        parts: list[pd.Series] = [
+            pdf["term"].value_counts() for pdf in batches if len(pdf)
+        ]
+        parts = [c for c in parts if not c.empty]
+        if not parts:
             return
+        counts = (
+            parts[0]
+            if len(parts) == 1
+            else pd.concat(parts).groupby(level=0).sum()
+        )
         n_p = int(counts.sum())
         keep = counts[counts * (summary_size + 1) > n_p]
         yield pd.DataFrame({"term": keep.index.astype(str)})
